@@ -1,0 +1,280 @@
+"""LLaMA decoder — TPU-native functional core.
+
+Rebuilds the dense machinery of the reference decoder
+(/root/reference/llava/model/language_model/dynamic_modeling_llama.py:125-567,
+1578-2594) as pure functions over a parameter pytree:
+
+* Layer params are **stacked along a leading layer axis** and executed with
+  ``lax.scan`` — one layer is traced/compiled once regardless of depth, and
+  FSDP sharding annotations apply uniformly to the stack.
+* The stack is split at ``sparse_layer`` so the sparsification event
+  (pruning/policy injection) happens between two scans; within each scan
+  every layer is identical — no data-dependent control flow inside jit.
+* Weights are stored ``[in, out]`` so the forward is ``x @ W`` (HF stores
+  ``[out, in]``; the converter transposes once at load).
+* All matmuls accumulate in fp32 on the MXU (``preferred_element_type``);
+  softmax/norms run in fp32; activations/weights are bf16 in production.
+
+The sparsification orchestration lives in ``dynamic.py``; this module has no
+knowledge of predictors.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LlamaConfig
+from ..ops.attention import attend, attend_with_policy, decode_attend, make_attention_mask
+from ..ops.kv_cache import KVCache, write_token
+from ..ops.norm import rms_norm
+from ..ops.rope import apply_rope_for_config
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+
+def init_llama_params(key: jax.Array, cfg: LlamaConfig, dtype=jnp.float32):
+    """Random init matching HF conventions (normal(0, 0.02), ones norms)."""
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    h, kvh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    l, v = cfg.num_hidden_layers, cfg.vocab_size
+    ks = jax.random.split(key, 9)
+
+    def init(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)
+
+    layers = {
+        "input_ln": jnp.ones((l, d), dtype),
+        "post_ln": jnp.ones((l, d), dtype),
+        "q": init(ks[0], (l, d, h * hd)),
+        "k": init(ks[1], (l, d, kvh * hd)),
+        "v": init(ks[2], (l, d, kvh * hd)),
+        "o": init(ks[3], (l, h * hd, d)),
+        "gate": init(ks[4], (l, d, f)),
+        "up": init(ks[5], (l, d, f)),
+        "down": init(ks[6], (l, f, d)),
+    }
+    params = {
+        "embed": init(ks[7], (v, d)),
+        "layers": layers,
+        "final_ln": jnp.ones((d,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = init(ks[8], (d, v))
+    return params
+
+
+def slice_layers(layers, lo: int, hi: Optional[int]):
+    return jax.tree.map(lambda a: a[lo:hi], layers)
+
+
+def embed_tokens(params, ids: jax.Array) -> jax.Array:
+    return jnp.take(params["embed"], ids, axis=0)
+
+
+def lm_head(params, cfg: LlamaConfig, x: jax.Array) -> jax.Array:
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    w = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    return jnp.einsum("...d,dv->...v", x, w, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Layer primitives
+# ---------------------------------------------------------------------------
+
+
+def _qkv(lp, cfg: LlamaConfig, h: jax.Array, positions: jax.Array):
+    b, s, _ = h.shape
+    q = (h @ lp["q"]).reshape(b, s, cfg.num_attention_heads, cfg.head_dim)
+    k = (h @ lp["k"]).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
+    v = (h @ lp["v"]).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
+    q = apply_rope_for_config(q, positions, cfg)
+    k = apply_rope_for_config(k, positions, cfg)
+    return q, k, v
+
+
+def _mlp(lp, h: jax.Array) -> jax.Array:
+    return (jax.nn.silu(h @ lp["gate"]) * (h @ lp["up"])) @ lp["down"]
+
+
+def layer_nocache(
+    lp,
+    cfg: LlamaConfig,
+    x: jax.Array,  # [B, S, D]
+    positions: jax.Array,  # [B, S]
+    mask: Optional[jax.Array],  # [B, 1, S, S] bool or None for plain causal
+    policy: Optional[jax.Array] = None,  # [B, S] soft keep mask (training)
+) -> jax.Array:
+    b, s, d = x.shape
+    h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
+    q, k, v = _qkv(lp, cfg, h, positions)
+    if mask is None:
+        mask = make_attention_mask(s, s, causal=True, batch=b)
+    if policy is not None:
+        o = attend_with_policy(q, k, v, policy, mask=mask)
+    else:
+        o = attend(q, k, v, mask=mask)
+    x = x + o.reshape(b, s, -1) @ lp["o"]
+    h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
+    return x + _mlp(lp, h)
+
+
+# ---------------------------------------------------------------------------
+# Scanned execution
+# ---------------------------------------------------------------------------
+
+
+def run_layers_nocache(
+    params,
+    cfg: LlamaConfig,
+    x: jax.Array,
+    positions: jax.Array,
+    *,
+    lo: int = 0,
+    hi: Optional[int] = None,
+    mask: Optional[jax.Array] = None,
+    policy: Optional[jax.Array] = None,
+    remat: bool = False,
+) -> jax.Array:
+    """Run layers [lo, hi) without a KV cache (training / parity paths)."""
+    sliced = slice_layers(params["layers"], lo, hi)
+
+    def body(x, lp):
+        return layer_nocache(lp, cfg, x, positions, mask, policy), None
+
+    if remat:
+        body = jax.checkpoint(
+            body, policy=jax.checkpoint_policies.nothing_saveable
+        )
+    x, _ = jax.lax.scan(body, x, sliced)
+    return x
+
+
+class PrefillResult(NamedTuple):
+    x: jax.Array  # [B, S, D] hidden states after the layer range
+    cache: KVCache
+
+
+def run_layers_prefill(
+    params,
+    cfg: LlamaConfig,
+    x: jax.Array,  # [B, S, D] left-aligned (padding at the tail)
+    positions: jax.Array,  # [B, S] original positions of each slot
+    cache: KVCache,
+    valid_len: jax.Array,  # [B] int32 — number of real tokens in x
+    *,
+    lo: int = 0,
+    hi: Optional[int] = None,
+) -> PrefillResult:
+    """Prefill layers [lo, hi): dense causal attention over the (possibly
+    compacted) sequence, K/V written to cache slots [0, S) with
+    ``length = valid_len``.
+
+    Because valid tokens are left-aligned and in ascending original order,
+    plain causal masking is exact; padding rows compute garbage that is never
+    read (logits are gathered at valid_len-1, decode masks by length).
+    """
+    hi = cfg.num_hidden_layers if hi is None else hi
+    sliced = slice_layers(params["layers"], lo, hi)
+    b, s, d = x.shape
+    mask = make_attention_mask(s, s, causal=True, batch=b)
+    layer_ids = jnp.arange(lo, hi, dtype=jnp.int32)
+
+    def body(carry, inp):
+        x, ck, cv = carry
+        lp, li = inp
+        h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
+        q, k, v = _qkv(lp, cfg, h, positions)
+        ck = jax.lax.dynamic_update_slice(
+            ck, k[None].astype(ck.dtype), (li, 0, 0, 0, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cv, v[None].astype(cv.dtype), (li, 0, 0, 0, 0)
+        )
+        o = attend(q, k, v, mask=mask)
+        x = x + o.reshape(b, s, -1) @ lp["o"]
+        hh = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
+        x = x + _mlp(lp, hh)
+        return (x, ck, cv), None
+
+    (x, ck, cv), _ = jax.lax.scan(body, (x, cache.k, cache.v), (sliced, layer_ids))
+    length = cache.length.at[lo:hi].set(valid_len[None, :])
+    return PrefillResult(x=x, cache=KVCache(k=ck, v=cv, length=length))
+
+
+class DecodeResult(NamedTuple):
+    x: jax.Array  # [B, 1, D]
+    cache: KVCache  # K/V written at current slots; lengths NOT yet advanced
+
+
+def run_layers_decode(
+    params,
+    cfg: LlamaConfig,
+    x: jax.Array,  # [B, 1, D] current-token hidden
+    positions: jax.Array,  # [B, 1] original position of the token
+    cache: KVCache,
+    *,
+    lo: int = 0,
+    hi: Optional[int] = None,
+) -> DecodeResult:
+    """One decode step through layers [lo, hi).
+
+    Each layer writes the token's K/V at its ``length`` slot and attends over
+    ``[0, length + 1)``. Lengths are advanced by the caller (see
+    ``ops.kv_cache.advance_lengths``) so a kept/dropped decision made at the
+    sparse layer applies uniformly.
+    """
+    hi = cfg.num_hidden_layers if hi is None else hi
+    sliced = slice_layers(params["layers"], lo, hi)
+    b = x.shape[0]
+    layer_ids = jnp.arange(lo, hi, dtype=jnp.int32)
+
+    def body(carry, inp):
+        x, ck, cv = carry
+        lp, li = inp
+        h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
+        q, k, v = _qkv(lp, cfg, h, positions)
+        length_l = jax.lax.dynamic_index_in_dim(
+            cache.length, li, axis=0, keepdims=False
+        )  # [B]
+        ck_l = jax.lax.dynamic_index_in_dim(ck, li, axis=0, keepdims=False)
+        cv_l = jax.lax.dynamic_index_in_dim(cv, li, axis=0, keepdims=False)
+        ck_l, cv_l = write_token(ck_l, cv_l, k, v, length_l)
+        ck = jax.lax.dynamic_update_slice(ck, ck_l[None], (li, 0, 0, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, cv_l[None], (li, 0, 0, 0, 0))
+        o = decode_attend(q, ck_l.astype(q.dtype), cv_l.astype(q.dtype), length_l)
+        x = x + o.reshape(b, 1, -1) @ lp["o"]
+        hh = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
+        x = x + _mlp(lp, hh)
+        return (x, ck, cv), None
+
+    (x, ck, cv), _ = jax.lax.scan(body, (x, cache.k, cache.v), (sliced, layer_ids))
+    return DecodeResult(x=x, cache=KVCache(k=ck, v=cv, length=cache.length))
+
+
+# ---------------------------------------------------------------------------
+# Dense end-to-end conveniences (parity tests, dense baseline)
+# ---------------------------------------------------------------------------
+
+
+def forward_dense(
+    params,
+    cfg: LlamaConfig,
+    input_ids: jax.Array,  # [B, S]
+    *,
+    positions: Optional[jax.Array] = None,
+    remat: bool = False,
+) -> jax.Array:
+    """Full dense causal-LM forward, returns fp32 logits [B, S, V]."""
+    b, s = input_ids.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+    x = embed_tokens(params, input_ids)
+    x = run_layers_nocache(params, cfg, x, positions, remat=remat)
+    return lm_head(params, cfg, x)

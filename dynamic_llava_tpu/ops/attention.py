@@ -1,0 +1,174 @@
+"""Attention ops — XLA reference paths.
+
+These are the semantically-definitive implementations; the Pallas fused
+kernels in ``flash_attention.py`` are tested for equivalence against these.
+
+Replaces the reference's four attention stacks (eager `LlamaAttention`,
+`LlamaFlashAttention2`, `DynamicLlamaSdpaAttention`, and the policy SDPA;
+/root/reference/llava/model/language_model/dynamic_modeling_llama.py:429-1129)
+with ONE parameterization:
+
+  attend(q, k, v, mask_mode, kv_length, policy)
+
+* ``causal`` masking over a (possibly pruned-and-compacted) sequence. Because
+  pruning gathers tokens in ascending original order, plain causal masking on
+  the compacted sequence is exactly equivalent to causal masking by original
+  position — no per-layer 4D mask rebuild (reference :1788-1819) is needed.
+* ``kv_length`` masking for the static decode cache: key slots
+  ``>= kv_length`` are invalid (the cache is preallocated at max_len).
+* ``policy`` soft-mask path for training: masked softmax renormalized over
+  kept tokens with a self-attention (identity) escape, matching
+  ``softmax_with_policy`` semantics (:913-929) including the fp32 upcast and
+  eps smoothing.
+
+Layouts are [B, S, H, d] (sequence-major per head), the natural layout for
+TPU: head_dim=128 rides the lane dimension and S the sublane dimension, so
+QK^T and PV land on the MXU without transposes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def repeat_kv_heads(x: jax.Array, n_rep: int) -> jax.Array:
+    """GQA broadcast [B, S, Hkv, d] -> [B, S, Hkv*n_rep, d] (reference
+    ``repeat_kv`` :333-346)."""
+    if n_rep == 1:
+        return x
+    b, s, h, d = x.shape
+    x = jnp.broadcast_to(x[:, :, :, None, :], (b, s, h, n_rep, d))
+    return x.reshape(b, s, h * n_rep, d)
+
+
+def _logits(q: jax.Array, k: jax.Array, scale: float) -> jax.Array:
+    # [B,Sq,H,d] x [B,Sk,H,d] -> [B,H,Sq,Sk], accumulate in fp32 on the MXU
+    return jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+
+
+def _output(w: jax.Array, v: jax.Array, out_dtype) -> jax.Array:
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", w, v, preferred_element_type=jnp.float32
+    )
+    return out.astype(out_dtype)
+
+
+def make_attention_mask(
+    q_len: int,
+    kv_len: int,
+    *,
+    causal: bool,
+    q_offset: Optional[jax.Array] = None,  # [B] int32: q row i has kv index q_offset+i
+    kv_length: Optional[jax.Array] = None,  # [B] int32: valid kv slots are [0, kv_length)
+    kv_valid: Optional[jax.Array] = None,  # [B, Sk] bool: explicit validity
+    batch: int = 1,
+) -> jax.Array:
+    """Boolean [B, 1, Sq, Sk] mask (True = attend)."""
+    rows = jnp.arange(q_len, dtype=jnp.int32)
+    cols = jnp.arange(kv_len, dtype=jnp.int32)
+    mask = jnp.ones((batch, 1, q_len, kv_len), dtype=bool)
+    if causal:
+        if q_offset is None:
+            q_offset = jnp.zeros((batch,), jnp.int32)
+        q_idx = q_offset[:, None] + rows[None, :]  # [B, Sq]
+        causal_m = q_idx[:, :, None] >= cols[None, None, :]  # [B, Sq, Sk]
+        mask = mask & causal_m[:, None]
+    if kv_length is not None:
+        len_m = cols[None, :] < kv_length[:, None]  # [B, Sk]
+        mask = mask & len_m[:, None, None, :]
+    if kv_valid is not None:
+        mask = mask & kv_valid[:, None, None, :]
+    return mask
+
+
+def attend(
+    q: jax.Array,  # [B, Sq, H, d]
+    k: jax.Array,  # [B, Sk, Hkv, d]
+    v: jax.Array,  # [B, Sk, Hkv, d]
+    *,
+    mask: Optional[jax.Array] = None,  # [B, 1, Sq, Sk] bool
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Plain masked attention, fp32 softmax. Returns [B, Sq, H, d]."""
+    n_rep = q.shape[2] // k.shape[2]
+    k = repeat_kv_heads(k, n_rep)
+    v = repeat_kv_heads(v, n_rep)
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = _logits(q, k, scale)
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    w = jax.nn.softmax(logits, axis=-1)
+    return _output(w, v, q.dtype)
+
+
+def attend_with_policy(
+    q: jax.Array,  # [B, S, H, d]
+    k: jax.Array,  # [B, S, Hkv, d]
+    v: jax.Array,  # [B, S, Hkv, d]
+    policy: jax.Array,  # [B, S] in [0,1]: soft keep mask over kv tokens
+    *,
+    mask: Optional[jax.Array] = None,  # [B, 1, S, S] bool (typically causal+padding)
+    scale: Optional[float] = None,
+    eps: float = 1e-6,
+) -> jax.Array:
+    """Training-mode policy attention (reference ``softmax_with_policy``
+    :913-929 + ``scaled_dot_product_attention_with_policy`` :933-970).
+
+    weights = (exp(logits - max) * policy_kv + eps/N) / (sum + eps), where the
+    kv policy has its diagonal forced to 1 (every token may attend to itself)
+    and dropped-out logits (mask=False) contribute exp(-inf)=0.
+
+    The whole renormalization runs in fp32 regardless of input dtype —
+    required for Gumbel-mask training stability in bf16 (reference comment
+    "for stable training", :926-929).
+    """
+    n_rep = q.shape[2] // k.shape[2]
+    k = repeat_kv_heads(k, n_rep)
+    v = repeat_kv_heads(v, n_rep)
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    s = q.shape[1]
+    logits = _logits(q, k, scale)  # fp32 [B,H,S,S]
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.float32(-jnp.inf))
+    pol = policy.astype(jnp.float32)[:, None, None, :]  # [B,1,1,S]
+    eye = jnp.eye(s, dtype=jnp.float32)[None, None]
+    pol = pol + (1.0 - pol) * eye
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    # guard fully-masked rows (padding queries): max=-inf -> exp(nan)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    w = jnp.exp(logits - m) * pol
+    w = (w + eps / s) / (jnp.sum(w, axis=-1, keepdims=True) + eps)
+    return _output(w, v, q.dtype)
+
+
+def decode_attend(
+    q: jax.Array,  # [B, 1, H, d] current-step query
+    k_cache: jax.Array,  # [B, max_len, Hkv, d] — slot `kv_length` holds the current token
+    v_cache: jax.Array,  # [B, max_len, Hkv, d]
+    kv_length: jax.Array,  # [B] int32 persisted length (excluding current token)
+    *,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Single-token decode against the static cache.
+
+    The current token's K/V must already be written at slot ``kv_length``;
+    it is visible this step whether or not it will be persisted — the
+    write-then-conditionally-advance protocol that replaces the reference's
+    ``get_cache`` + ``update(text_decision)`` pair
+    (cache_utils.py:150-268, dynamic_modeling_llama.py:1061-1083).
+    """
+    mask = make_attention_mask(
+        1,
+        k_cache.shape[1],
+        causal=False,
+        kv_length=kv_length + 1,
+        batch=q.shape[0],
+    )
+    return attend(q, k_cache, v_cache, mask=mask, scale=scale)

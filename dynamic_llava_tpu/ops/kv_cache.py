@@ -1,0 +1,109 @@
+"""Static-shape KV cache with per-layer, per-batch true lengths.
+
+TPU-native redesign of the reference ``DynamicCachePlus``
+(/root/reference/llava/model/language_model/cache_utils.py:63-318). The
+reference grows ragged per-layer tensors by concatenation and compacts kept
+tokens with per-sample Python loops; here the cache is a preallocated
+``[L, B, max_len, Hkv, d]`` buffer plus an int32 ``length[L, B]`` — the
+direct static-shape analogue of ``true_cache_length``.
+
+Decode protocol (replaces ``get_cache`` + ``update(cache_decision)``,
+cache_utils.py:109-268):
+
+  1. ``write_token``: unconditionally write the new token's K/V at slot
+     ``length`` (per batch).
+  2. attend over slots ``[0, length + 1)`` — the current token is visible
+     this step even if it will be dropped.
+  3. ``advance``: ``length += keep`` — a dropped token's slot is simply
+     overwritten by the next token. No data movement, no ragged shapes, and
+     it batches trivially (the reference's batched path needed a per-sample
+     gather/re-pad loop and asserted B==1 elsewhere).
+
+Invariant: slots ``[0, length)`` are persisted tokens, left-aligned, in
+original temporal order.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LlamaConfig
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # [L, B, max_len, Hkv, d]
+    v: jax.Array  # [L, B, max_len, Hkv, d]
+    length: jax.Array  # [L, B] int32: number of persisted tokens per layer/sample
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def batch(self) -> int:
+        return self.k.shape[1]
+
+
+def init_cache(
+    cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+) -> KVCache:
+    shape = (
+        cfg.num_hidden_layers,
+        batch,
+        max_len,
+        cfg.num_key_value_heads,
+        cfg.head_dim,
+    )
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        length=jnp.zeros((cfg.num_hidden_layers, batch), jnp.int32),
+    )
+
+
+def write_prefill(
+    k_layer: jax.Array,  # [B, max_len, Hkv, d] cache slice for one layer
+    v_layer: jax.Array,
+    k_new: jax.Array,  # [B, S, Hkv, d] left-aligned (padding at the tail)
+    v_new: jax.Array,
+):
+    """Write a whole prefill sequence at slot 0. Caller sets length."""
+    s = k_new.shape[1]
+    k_layer = jax.lax.dynamic_update_slice(k_layer, k_new.astype(k_layer.dtype), (0, 0, 0, 0))
+    v_layer = jax.lax.dynamic_update_slice(v_layer, v_new.astype(v_layer.dtype), (0, 0, 0, 0))
+    return k_layer, v_layer
+
+
+def write_token(
+    k_layer: jax.Array,  # [B, max_len, Hkv, d]
+    v_layer: jax.Array,
+    k_new: jax.Array,  # [B, 1, Hkv, d]
+    v_new: jax.Array,
+    length: jax.Array,  # [B] int32 — slot to write
+):
+    """Per-batch dynamic write of one token at slot ``length``."""
+
+    def upd(cache_b, new_b, pos_b):
+        return jax.lax.dynamic_update_slice(
+            cache_b, new_b.astype(cache_b.dtype), (pos_b, 0, 0)
+        )
+
+    k_layer = jax.vmap(upd)(k_layer, k_new, length)
+    v_layer = jax.vmap(upd)(v_layer, v_new, length)
+    return k_layer, v_layer
+
+
+def advance_lengths(
+    length: jax.Array,  # [L, B]
+    keep: jax.Array,  # [B] int32/bool — decision for layers >= sparse_layer
+    sparse_layer: int,
+) -> jax.Array:
+    """Layers below ``sparse_layer`` always persist; layers at/above persist
+    only kept tokens (reference dynamic_modeling_llama.py:1061-1083)."""
+    n_layers = length.shape[0]
+    layer_ids = jnp.arange(n_layers, dtype=jnp.int32)[:, None]
+    inc = jnp.where(layer_ids < sparse_layer, 1, keep[None, :].astype(jnp.int32))
+    return length + inc
