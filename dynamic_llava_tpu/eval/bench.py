@@ -1,0 +1,126 @@
+"""Speed/memory benchmark core.
+
+TPU rebuild of the reference bench_test protocols
+(/root/reference/llava/dynamic_eval/bench_test/dynamic_llava_image_time_and_mem.py:54-157
+and dynamic_llava_long_text_mem.py): prefill TTFT over repeated timed runs
+and steady-state decode tok/s, dense vs sparse on the same weights.
+
+The decode loop runs *on device* as a ``lax.scan`` over steps (greedy
+feedback), so the measurement captures chip throughput, not host/tunnel
+dispatch latency. Timing is ``block_until_ready`` wall clock (the JAX
+equivalent of the reference's CUDA-event pairs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LlavaConfig
+from ..models import dynamic
+from ..multimodal.fusion import plan_batch
+
+
+def build_inputs(cfg: LlavaConfig, batch: int, text_len: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    ids_list = []
+    for _ in range(batch):
+        ids = rng.integers(3, cfg.text.vocab_size, size=(text_len,)).astype(np.int64)
+        ids[min(8, text_len - 2)] = -200
+        ids_list.append(ids)
+    plan = plan_batch(ids_list, cfg.num_image_tokens)
+    imgs = rng.normal(
+        size=(batch, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    return plan, imgs
+
+
+def make_decode_many(params, cfg: LlavaConfig, n_steps: int):
+    """Jitted greedy decode of n_steps tokens entirely on device."""
+
+    def decode_many(state: dynamic.GenState):
+        def body(state, _):
+            tok = jnp.argmax(state.last_logits, axis=-1)
+            state = dynamic.decode_step(params, cfg, tok, state)
+            return state, tok
+
+        state, toks = jax.lax.scan(body, state, None, length=n_steps)
+        return state, toks
+
+    return jax.jit(decode_many, donate_argnums=(0,))
+
+
+def bench_config(
+    params,
+    cfg: LlavaConfig,
+    batch: int = 1,
+    text_len: int = 64,
+    new_tokens: int = 64,
+    prefill_reps: int = 10,
+    cache_dtype=jnp.bfloat16,
+) -> Dict[str, float]:
+    """Returns {'ttft_ms', 'decode_tok_s', 'prefill_len', 'post_cache_len'}."""
+    plan, imgs = build_inputs(cfg, batch, text_len)
+    imgs = jnp.asarray(imgs, jnp.bfloat16)
+    args = (
+        jnp.asarray(plan.token_ids), jnp.asarray(plan.is_image),
+        jnp.asarray(plan.image_slot), jnp.asarray(plan.valid_len),
+        jnp.asarray(plan.spans.image_start),
+        jnp.asarray(plan.spans.last_instruct_start),
+        jnp.asarray(plan.spans.last_instruct_end),
+        jnp.asarray(plan.spans.has_image),
+    )
+
+    def prefill_fn(*a):
+        cache = dynamic.make_gen_cache(
+            cfg, plan.batch, plan.seq_len, new_tokens, cache_dtype
+        )
+        state, _ = dynamic.prefill(params, cfg, *a, cache)
+        return state
+
+    prefill_jit = jax.jit(prefill_fn)
+    state = jax.block_until_ready(prefill_jit(*args, imgs))  # compile
+
+    times = []
+    for _ in range(prefill_reps):
+        t0 = time.perf_counter()
+        state = jax.block_until_ready(prefill_jit(*args, imgs))
+        times.append(time.perf_counter() - t0)
+    ttft_ms = float(np.median(times) * 1e3)
+
+    decode_many = make_decode_many(params, cfg, new_tokens)
+    state2, _ = jax.block_until_ready(decode_many(state))  # compile+run
+    post_len = float(np.mean(np.asarray(state2.cache.post.length)))
+    # re-prefill (decode donated the state) and time steady-state decode
+    state = jax.block_until_ready(prefill_jit(*args, imgs))
+    t0 = time.perf_counter()
+    state2, toks = jax.block_until_ready(decode_many(state))
+    dt = time.perf_counter() - t0
+    decode_tok_s = batch * new_tokens / dt
+
+    return {
+        "ttft_ms": ttft_ms,
+        "decode_tok_s": float(decode_tok_s),
+        "prefill_len": float(np.mean(np.asarray(plan.valid_len))),
+        "post_cache_len_after_decode": post_len,
+        "post_cache_capacity": float(state2.cache.post.max_len),
+        "pre_cache_capacity": float(state2.cache.pre.max_len),
+    }
+
+
+def dense_config(cfg: LlavaConfig) -> LlavaConfig:
+    return dataclasses.replace(
+        cfg,
+        sparse=dataclasses.replace(
+            cfg.sparse,
+            use_vision_predictor=False,
+            use_text_predictor=False,
+            use_output_text_predictor=False,
+            use_instruct_predictor=False,
+        ),
+    )

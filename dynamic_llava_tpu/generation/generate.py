@@ -1,0 +1,136 @@
+"""Autoregressive generation on top of the static-cache decoder.
+
+Replaces the reference's HF ``GenerationMixin`` integration
+(/root/reference/llava/model/language_model/dynamic_llava_llama.py:117-169,
+dynamic_modeling_llama.py:2815-2895): one jitted prefill + one jitted decode
+step, both compiled once per (batch, padded-length, cache-size) bucket. The
+decode step donates the cache so XLA updates it in place.
+
+Sampling: greedy and temperature/top-p, matching the eval harnesses'
+``--temperature 0`` determinism requirement.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LlavaConfig
+from ..multimodal.fusion import FusionPlan, plan_batch
+from ..models import dynamic
+
+
+class GenerationConfig(NamedTuple):
+    max_new_tokens: int = 128
+    temperature: float = 0.0
+    top_p: float = 1.0
+    eos_token_id: int = 2
+    cache_dtype: str = "bfloat16"
+
+
+def _sample(rng, logits: jax.Array, temperature: float, top_p: float) -> jax.Array:
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits / temperature
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(rng, logits, axis=-1)
+
+
+class Generator:
+    """Compiled-once generation harness for a fixed config.
+
+    ``prefill_fn`` and ``decode_fn`` are jitted; the Python loop only feeds
+    tokens and checks stop conditions (one host sync per token, same as the
+    reference's per-token sampling loop but with the whole layer stack fused
+    into a single XLA program).
+    """
+
+    def __init__(self, params, cfg: LlavaConfig, gen_cfg: GenerationConfig = GenerationConfig()):
+        self.params = params
+        self.cfg = cfg
+        self.gen_cfg = gen_cfg
+        self._prefill = jax.jit(functools.partial(dynamic.prefill, params, cfg))
+        self._decode = jax.jit(
+            functools.partial(dynamic.decode_step, params, cfg),
+            donate_argnums=(1,),
+        )
+
+    def prefill_from_plan(self, plan: FusionPlan, pixel_values, max_new_tokens: int):
+        cache_dtype = jnp.dtype(self.gen_cfg.cache_dtype)
+        cache = dynamic.make_gen_cache(
+            self.cfg, plan.batch, plan.seq_len, max_new_tokens, cache_dtype
+        )
+        state, info = self._prefill(
+            jnp.asarray(plan.token_ids),
+            jnp.asarray(plan.is_image),
+            jnp.asarray(plan.image_slot),
+            jnp.asarray(plan.valid_len),
+            jnp.asarray(plan.spans.image_start),
+            jnp.asarray(plan.spans.last_instruct_start),
+            jnp.asarray(plan.spans.last_instruct_end),
+            jnp.asarray(plan.spans.has_image),
+            None if pixel_values is None else jnp.asarray(pixel_values),
+            cache,
+        )
+        return state, info
+
+    def generate(
+        self,
+        input_ids_list: List[np.ndarray],
+        pixel_values: Optional[np.ndarray] = None,  # [B, H, W, 3] normalized
+        stopping_criteria=None,
+        pad_to: Optional[int] = None,
+    ) -> List[List[int]]:
+        """Returns generated token ids (without the prompt) per sample."""
+        gc = self.gen_cfg
+        plan = plan_batch(
+            input_ids_list,
+            self.cfg.num_image_tokens if pixel_values is not None else 0,
+            max_length=self.cfg.model_max_length,
+            pad_to=pad_to,
+        )
+        state, _ = self.prefill_from_plan(plan, pixel_values, gc.max_new_tokens)
+
+        b = plan.batch
+        rng = jax.random.key(0)
+        done = np.zeros(b, bool)
+        out: List[List[int]] = [[] for _ in range(b)]
+        tok = None
+        for step in range(gc.max_new_tokens):
+            rng, krng = jax.random.split(rng)
+            tok = _sample(krng, state.last_logits, gc.temperature, gc.top_p)
+            tok_np = np.asarray(tok)
+            for i in range(b):
+                if not done[i]:
+                    t = int(tok_np[i])
+                    out[i].append(t)
+                    if t == gc.eos_token_id:
+                        done[i] = True
+                    elif stopping_criteria is not None and stopping_criteria(
+                        list(np.asarray(plan.token_ids[i][: plan.valid_len[i]]))
+                        + out[i]
+                    ):
+                        done[i] = True
+            if done.all() or step == gc.max_new_tokens - 1:
+                break
+            state = self._decode(tok, state)
+        return out
+
+    def cache_lengths(self, state: dynamic.GenState) -> np.ndarray:
+        """Per-layer persisted KV lengths — the ``true_cache_length``
+        observability the reference's LVIS probes log
+        (model_lvis_for_ppl.py:166-181)."""
+        return np.concatenate(
+            [np.asarray(state.cache.pre.length), np.asarray(state.cache.post.length)],
+            axis=0,
+        )

@@ -1,0 +1,169 @@
+"""Checkpoint loading: HF LLaVA / Dynamic-LLaVA directory -> JAX runtime.
+
+Rebuild of the reference ``load_pretrained_model``
+(/root/reference/llava/model/dynamic_llava_builder.py:35-249 and
+builder.py:35-240): reads an HF-format model directory (config.json +
+safetensors/bins + tokenizer files), converts weights into our stacked
+pytrees, and returns (tokenizer, model, image_processor, context_len) with
+the same call shape the eval/serve layers expect.
+
+LoRA-merge and delta-weight paths live in ``weight_tools.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ClipVisionConfig, LlamaConfig, LlavaConfig, SparseConfig
+from ..mm_utils import ClipImagePreprocessor
+from . import convert
+
+
+class LlavaRuntime(NamedTuple):
+    """Loaded model bundle (the functional analogue of the torch nn.Module
+    the reference builder returns)."""
+
+    params: dict
+    cfg: LlavaConfig
+
+    @property
+    def config(self) -> LlavaConfig:
+        return self.cfg
+
+
+def llava_config_from_hf_dict(d: dict) -> LlavaConfig:
+    """Map an HF llava/dynamic_llava config.json dict onto LlavaConfig."""
+    sparse_dict = d.get("sparse_config") or {}
+    sparse = SparseConfig.from_dict(sparse_dict) if sparse_dict else SparseConfig(
+        use_vision_predictor=False, use_text_predictor=False,
+        use_output_text_predictor=False, use_instruct_predictor=False,
+    )
+    text = LlamaConfig.from_hf_dict(d)
+    # vision tower config: the reference loads CLIP-L/336 from its own hub
+    # dir; offline we map by name (openai/clip-vit-large-patch14-336)
+    tower_name = d.get("mm_vision_tower", "") or ""
+    if "336" in tower_name or not tower_name:
+        vision = ClipVisionConfig()
+    else:
+        vision = ClipVisionConfig(image_size=224)
+    vision = dataclasses.replace(
+        vision,
+        select_layer=d.get("mm_vision_select_layer", -2),
+        select_feature=d.get("mm_vision_select_feature", "patch"),
+    )
+    return LlavaConfig(
+        text=text,
+        vision=vision,
+        sparse=sparse,
+        mm_projector_type=d.get("mm_projector_type", "linear"),
+        mm_vision_select_layer=d.get("mm_vision_select_layer", -2),
+        mm_vision_select_feature=d.get("mm_vision_select_feature", "patch"),
+        image_aspect_ratio=d.get("image_aspect_ratio", "square"),
+        mm_use_im_start_end=d.get("mm_use_im_start_end", False),
+        mm_use_im_patch_token=d.get("mm_use_im_patch_token", True),
+        model_max_length=d.get("max_length", d.get("model_max_length", 2048)),
+    )
+
+
+def params_from_state_dict(sd: dict, cfg: LlavaConfig, dtype=np.float32) -> dict:
+    """Full Dynamic-LLaVA state dict -> param bundle. Tower weights may live
+    under model.vision_tower.vision_tower.vision_model (reference naming)."""
+    params = {
+        "llm": convert.llama_params_from_state_dict(sd, cfg.text, dtype=dtype),
+    }
+    tower_prefixes = [
+        "model.vision_tower.vision_tower.vision_model.",
+        "vision_tower.vision_tower.vision_model.",
+        "vision_model.",
+    ]
+    for pref in tower_prefixes:
+        if f"{pref}embeddings.class_embedding" in sd:
+            params["vision_tower"] = convert.clip_params_from_state_dict(
+                sd, cfg.vision, prefix=pref, dtype=dtype
+            )
+            break
+    if "model.mm_projector.0.weight" in sd or "model.mm_projector.weight" in sd:
+        params["mm_projector"] = convert.projector_params_from_state_dict(
+            sd, cfg.mm_projector_type, dtype=dtype
+        )
+    preds = {}
+    if cfg.sparse.use_vision_predictor and any(
+        k.startswith("model.image_score_predictor.") for k in sd
+    ):
+        preds["image_score_predictor"] = (
+            convert.vision_predictor_params_from_state_dict(
+                sd, cfg.sparse, dtype=dtype
+            )
+        )
+    if cfg.sparse.use_output_text_predictor and any(
+        k.startswith("model.output_text_score_predictor.") for k in sd
+    ):
+        preds["output_text_score_predictor"] = (
+            convert.text_predictor_params_from_state_dict(
+                sd, "model.output_text_score_predictor.", dtype=dtype
+            )
+        )
+    if cfg.sparse.use_instruct_predictor and any(
+        k.startswith("model.instruct_score_predictor.") for k in sd
+    ):
+        preds["instruct_score_predictor"] = (
+            convert.text_predictor_params_from_state_dict(
+                sd, "model.instruct_score_predictor.", dtype=dtype
+            )
+        )
+    if preds:
+        params["predictors"] = preds
+    return params
+
+
+def load_pretrained_model(
+    model_path: str,
+    model_base: Optional[str] = None,
+    model_name: Optional[str] = None,
+    dtype=jnp.bfloat16,
+    device=None,
+    tower_path: Optional[str] = None,
+    **_: object,
+):
+    """Returns (tokenizer, LlavaRuntime, image_processor, context_len).
+
+    ``model_base`` handles the projector-only / LoRA checkpoints the same way
+    the reference does: base weights from ``model_base``, deltas from
+    ``model_path``.
+    """
+    with open(os.path.join(model_path, "config.json")) as f:
+        hf_cfg = json.load(f)
+    cfg = llava_config_from_hf_dict(hf_cfg)
+
+    sd = {}
+    if model_base is not None:
+        sd.update(convert.load_state_dict_from_dir(model_base))
+    sd.update(convert.load_state_dict_from_dir(model_path))
+
+    # separately-stored vision tower (CLIP checkpoint dir)
+    if tower_path is not None:
+        tower_sd = convert.load_state_dict_from_dir(tower_path)
+        sd.update(tower_sd)
+
+    np_dtype = np.float32 if dtype == jnp.float32 else np.float32
+    params = params_from_state_dict(sd, cfg, dtype=np_dtype)
+    params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+
+    tokenizer = None
+    try:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(model_path, use_fast=False)
+    except Exception:
+        pass
+
+    image_processor = ClipImagePreprocessor(size=cfg.vision.image_size)
+    context_len = cfg.model_max_length
+    return tokenizer, LlavaRuntime(params=params, cfg=cfg), image_processor, context_len

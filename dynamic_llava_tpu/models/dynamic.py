@@ -1,0 +1,427 @@
+"""Dynamic-LLaVA model: multimodal composition + sparsification orchestration.
+
+This is the TPU-native heart of the framework, replacing the reference's
+``DynamicLlamaModel.forward`` orchestration block
+(/root/reference/llava/model/language_model/dynamic_modeling_llama.py:1824-2521)
+and the ``DynamicLlavaLlamaForCausalLM`` wrapper (dynamic_llava_llama.py:50-173).
+
+Execution regimes (reference regime labels from SURVEY.md §2.1):
+
+* ``prefill``  — E1 (vision top-k prune) + E2 (instruct threshold prune) at
+  the entry of ``sparse_layer``: the hidden sequence, positions, and spans
+  are compacted with a static-budget gather; layers below the sparse layer
+  cache the full sequence, layers at/above cache the compacted one.
+* ``decode_step`` — E3: TextPredictor on the token entering the sparse layer
+  produces a keep/drop decision; every layer writes the token's K/V at its
+  current slot (so it is attended this step) and the decision controls
+  whether lengths advance (write-then-conditionally-advance).
+* ``forward_train`` — T1/T2/T3: Gumbel-softmax hard keep masks composed into
+  a single per-token ``policy`` vector consumed by the policy-attention
+  kernel; nothing is physically pruned, so shapes stay static and gradients
+  flow to the predictors.
+
+With all predictors disabled every regime degenerates to the dense
+LLaVA-1.5 path (one stack, not twins — SURVEY.md §7 delta 2).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LlavaConfig
+from ..multimodal.fusion import FusionPlan, fuse_embeddings
+from ..ops.gumbel import gumbel_keep_mask
+from ..ops.kv_cache import (
+    KVCache,
+    TieredCache,
+    advance_tiered,
+    init_tiered_cache,
+)
+from ..ops.sparsify import (
+    gather_tokens,
+    plan_compaction,
+    remap_span_starts,
+    topk_keep_mask,
+)
+from . import clip, llama, projector
+from .predictors import (
+    init_predictors,
+    text_predictor,
+    vision_predictor,
+)
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+
+def init_llava_params(key: jax.Array, cfg: LlavaConfig, dtype=jnp.float32):
+    ks = jax.random.split(key, 4)
+    params = {
+        "llm": llama.init_llama_params(ks[0], cfg.text, dtype),
+        "vision_tower": clip.init_clip_params(ks[1], cfg.vision, dtype),
+        "mm_projector": projector.init_projector_params(
+            ks[2], cfg.mm_projector_type, cfg.vision.hidden_size,
+            cfg.text.hidden_size, dtype,
+        ),
+    }
+    preds = init_predictors(ks[3], cfg.text, cfg.sparse, dtype)
+    if preds:
+        params["predictors"] = preds
+    return params
+
+
+def encode_images(params, cfg: LlavaConfig, pixel_values: jax.Array) -> jax.Array:
+    """Tower + projector (reference encode_images, dynamic_llava_arch.py:163-166).
+    pixel_values: [B, H, W, 3] normalized NHWC -> [B, N_img, D]."""
+    feats = clip.vision_tower_features(params["vision_tower"], cfg.vision, pixel_values)
+    return projector.apply_projector(params["mm_projector"], feats)
+
+
+# ---------------------------------------------------------------------------
+# Span helpers (device-side, static shape)
+# ---------------------------------------------------------------------------
+
+
+def _span_mask(s: int, start: jax.Array, end: jax.Array) -> jax.Array:
+    """[B, S] bool mask for per-sample [start, end) spans."""
+    pos = jnp.arange(s, dtype=jnp.int32)[None, :]
+    return (pos >= start[:, None]) & (pos < end[:, None])
+
+
+def _gather_span(x: jax.Array, start: jax.Array, length: int) -> jax.Array:
+    """Gather a contiguous per-sample span of static length: [B, S, D] ->
+    [B, length, D]."""
+    b = x.shape[0]
+    idx = start[:, None] + jnp.arange(length, dtype=jnp.int32)[None, :]
+    return x[jnp.arange(b, dtype=jnp.int32)[:, None], idx]
+
+
+# ---------------------------------------------------------------------------
+# Inference: prefill
+# ---------------------------------------------------------------------------
+
+
+class GenState(NamedTuple):
+    """Carried generation state (all static shapes)."""
+
+    cache: TieredCache
+    next_pos: jax.Array  # [B] original-position counter for RoPE (pre-pruning numbering)
+    last_logits: jax.Array  # [B, V] fp32 logits of the last processed token
+
+
+class PrefillInfo(NamedTuple):
+    """Diagnostics: what got kept (for visualize/eval probes)."""
+
+    image_keep_mask: Optional[jax.Array]  # [B, S] over pre-compaction slots
+    kept_positions: jax.Array  # [B, S_c] original positions of compacted slots
+    new_length: jax.Array  # [B] post-compaction valid length
+
+
+def prefill(
+    params,
+    cfg: LlavaConfig,
+    plan_token_ids: jax.Array,  # [B, S]
+    plan_is_image: jax.Array,  # [B, S] bool
+    plan_image_slot: jax.Array,  # [B, S] int32
+    valid_len: jax.Array,  # [B]
+    image_start: jax.Array,  # [B]
+    last_instruct_start: jax.Array,  # [B]
+    last_instruct_end: jax.Array,  # [B]
+    has_image: jax.Array,  # [B] bool
+    pixel_values: Optional[jax.Array],  # [B, H, W, 3] or None (text-only)
+    cache: TieredCache,
+) -> Tuple[GenState, PrefillInfo]:
+    tcfg, sparse = cfg.text, cfg.sparse
+    b, s = plan_token_ids.shape
+    n_img = cfg.num_image_tokens
+
+    x = llama.embed_tokens(params["llm"], plan_token_ids)
+    if pixel_values is not None:
+        img_feats = encode_images(params, cfg, pixel_values)
+        x = fuse_embeddings(x, img_feats, plan_is_image, plan_image_slot)
+    positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+
+    sl = sparse.sparse_layer
+    res = llama.run_layers_prefill(
+        params["llm"], tcfg, x, positions, cache.pre, valid_len, lo=0, hi=sl
+    )
+    x, cache_pre = res.x, res.cache
+
+    valid = positions < valid_len[:, None]
+    keep = valid
+    image_keep = None
+    out_len = s
+    if sparse.use_vision_predictor and pixel_values is not None:
+        # E1: score image tokens on the hidden states entering the sparse
+        # layer, keep the top-K (reference :1897-1994)
+        img_hidden = _gather_span(x, image_start, n_img)  # [B, N_img, D]
+        logits = vision_predictor(
+            params["predictors"]["image_score_predictor"], img_hidden, sparse
+        )
+        scores_img = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)[..., 0]
+        # scatter span scores back to full-sequence coordinates
+        scores = jnp.zeros((b, s), jnp.float32)
+        batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
+        span_idx = image_start[:, None] + jnp.arange(n_img, dtype=jnp.int32)[None, :]
+        scores = scores.at[batch_idx, span_idx].set(scores_img)
+        k_budget = sparse.vision_keep_budget(n_img)
+        img_keep = topk_keep_mask(scores, k_budget, plan_is_image & valid)
+        # samples without an image keep their (empty) image span untouched
+        keep = jnp.where(
+            (has_image[:, None]) & plan_is_image, img_keep, keep
+        )
+        image_keep = img_keep
+        out_len = s - n_img + k_budget
+
+    if sparse.use_instruct_predictor:
+        # E2: threshold prune of the last-instruct span; the final token of
+        # the span is always kept (reference :2261-2375)
+        tp = text_predictor(params["predictors"]["instruct_score_predictor"], x)
+        instr_keep = tp[..., 0] > tp[..., 1]
+        instr_span = _span_mask(s, last_instruct_start, last_instruct_end)
+        is_span_last = (
+            jnp.arange(s, dtype=jnp.int32)[None, :] == (last_instruct_end - 1)[:, None]
+        )
+        keep = jnp.where(instr_span & ~is_span_last, keep & instr_keep, keep)
+
+    needs_compaction = sparse.use_vision_predictor or sparse.use_instruct_predictor
+    if needs_compaction:
+        comp = plan_compaction(keep, out_len=out_len)
+        x = gather_tokens(x, comp.gather_idx)
+        new_positions = gather_tokens(positions, comp.gather_idx)
+        new_valid = comp.new_length
+    else:
+        new_positions = positions
+        new_valid = valid_len
+
+    # the sparse tier may be allocated at the pruned budget: truncate the
+    # (padded) compacted sequence to its capacity before writing
+    post_cap = cache.post.max_len
+    if x.shape[1] > post_cap:
+        x = x[:, :post_cap]
+        new_positions = new_positions[:, :post_cap]
+    res2 = llama.run_layers_prefill(
+        params["llm"], tcfg, x, new_positions, cache.post, new_valid,
+        lo=sl, hi=tcfg.num_hidden_layers,
+    )
+    x, cache_post = res2.x, res2.cache
+
+    last_hidden = _gather_span(x, new_valid - 1, 1)  # [B, 1, D]
+    logits = llama.lm_head(params["llm"], tcfg, last_hidden)[:, 0]
+    state = GenState(
+        cache=TieredCache(pre=cache_pre, post=cache_post),
+        next_pos=valid_len,
+        last_logits=logits,
+    )
+    info = PrefillInfo(
+        image_keep_mask=image_keep,
+        kept_positions=new_positions,
+        new_length=new_valid,
+    )
+    return state, info
+
+
+# ---------------------------------------------------------------------------
+# Inference: decode
+# ---------------------------------------------------------------------------
+
+
+def decode_step(
+    params,
+    cfg: LlavaConfig,
+    token: jax.Array,  # [B] next input token ids
+    state: GenState,
+) -> GenState:
+    tcfg, sparse = cfg.text, cfg.sparse
+    b = token.shape[0]
+    sl = sparse.sparse_layer
+
+    x = llama.embed_tokens(params["llm"], token[:, None])
+    pos = state.next_pos[:, None]
+
+    d1 = llama.run_layers_decode(
+        params["llm"], tcfg, x, pos, state.cache.pre, lo=0, hi=sl
+    )
+    x, cache_pre = d1.x, d1.cache
+
+    if sparse.use_output_text_predictor:
+        # E3: per-token keep decision on the hidden entering the sparse layer
+        # (reference :2377-2391): threshold logit[keep] > logit[drop]
+        tp = text_predictor(
+            params["predictors"]["output_text_score_predictor"], x[:, 0]
+        )
+        keep = (tp[..., 0] > tp[..., 1]).astype(jnp.int32)
+    else:
+        keep = jnp.ones((b,), jnp.int32)
+
+    d2 = llama.run_layers_decode(
+        params["llm"], tcfg, x, pos, state.cache.post,
+        lo=sl, hi=tcfg.num_hidden_layers,
+    )
+    x, cache_post = d2.x, d2.cache
+
+    cache = advance_tiered(TieredCache(pre=cache_pre, post=cache_post), keep)
+    logits = llama.lm_head(params["llm"], tcfg, x)[:, 0]
+    return GenState(
+        cache=cache,
+        next_pos=state.next_pos + 1,
+        last_logits=logits,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training forward (policy soft-mask path)
+# ---------------------------------------------------------------------------
+
+
+class TrainForwardOut(NamedTuple):
+    logits: jax.Array  # [B, S, V] fp32
+    image_mask: Optional[jax.Array]  # [B, S] gumbel keep over image slots (1 elsewhere)
+    output_text_mask: Optional[jax.Array]  # [B, S]
+    instruct_mask: Optional[jax.Array]  # [B, S]
+    image_span: Optional[jax.Array]  # [B, S] bool
+    answer_span: Optional[jax.Array]  # [B, S] bool (only where predictor applied)
+    instruct_span: Optional[jax.Array]  # [B, S] bool
+
+
+def forward_train(
+    params,
+    cfg: LlavaConfig,
+    plan_token_ids: jax.Array,
+    plan_is_image: jax.Array,
+    plan_image_slot: jax.Array,
+    valid_len: jax.Array,
+    image_start: jax.Array,
+    answer_start: jax.Array,
+    answer_end: jax.Array,
+    last_instruct_start: jax.Array,
+    last_instruct_end: jax.Array,
+    has_image: jax.Array,
+    pixel_values: Optional[jax.Array],
+    rng: jax.Array,
+    gumbel_tau: jax.Array,
+    remat: bool = True,
+) -> TrainForwardOut:
+    """Full-sequence training forward with Gumbel policy masks
+    (reference T1/T2/T3, dynamic_modeling_llama.py:1824-2259)."""
+    tcfg, sparse = cfg.text, cfg.sparse
+    b, s = plan_token_ids.shape
+    n_img = cfg.num_image_tokens
+    sl = sparse.sparse_layer
+
+    x = llama.embed_tokens(params["llm"], plan_token_ids)
+    if pixel_values is not None:
+        img_feats = encode_images(params, cfg, pixel_values)
+        # tower is frozen in the reference recipe; stop grads into it
+        x = fuse_embeddings(
+            x, jax.lax.stop_gradient(img_feats), plan_is_image, plan_image_slot
+        )
+    positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+
+    x = llama.run_layers_nocache(
+        params["llm"], tcfg, x, positions, lo=0, hi=sl, remat=remat
+    )
+
+    valid = positions < valid_len[:, None]
+    policy = jnp.ones((b, s), jnp.float32)
+    rngs = jax.random.split(rng, 3)
+
+    image_mask = output_text_mask = instruct_mask = None
+    image_span = answer_span = instruct_span = None
+
+    if sparse.use_vision_predictor and pixel_values is not None:
+        # T1: gumbel keep mask over image tokens (prev decision = ones)
+        img_hidden = _gather_span(x, image_start, n_img)
+        logits = vision_predictor(
+            params["predictors"]["image_score_predictor"], img_hidden, sparse
+        )
+        keep = gumbel_keep_mask(rngs[0], logits, gumbel_tau)  # [B, N_img]
+        batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
+        span_idx = image_start[:, None] + jnp.arange(n_img, dtype=jnp.int32)[None, :]
+        mask_full = jnp.ones((b, s), jnp.float32).at[batch_idx, span_idx].set(keep)
+        image_span = plan_is_image & valid & has_image[:, None]
+        mask_full = jnp.where(image_span, mask_full, 1.0)
+        policy = policy * mask_full
+        image_mask = mask_full
+
+    if sparse.use_output_text_predictor:
+        # T2: gumbel keep over the answer span; answers shorter than
+        # output_text_len_for_training are force-kept (reference :2006-2133)
+        tp = text_predictor(params["predictors"]["output_text_score_predictor"], x)
+        keep = gumbel_keep_mask(rngs[1], tp, gumbel_tau)  # [B, S]
+        ans_len = answer_end - answer_start
+        long_enough = ans_len >= sparse.output_text_len_for_training
+        answer_span = (
+            _span_mask(s, answer_start, answer_end) & valid & long_enough[:, None]
+        )
+        mask_full = jnp.where(answer_span, keep, 1.0)
+        policy = policy * mask_full
+        output_text_mask = mask_full
+
+    if sparse.use_instruct_predictor:
+        # T3: same for the last-instruct span (reference :2135-2259)
+        tp = text_predictor(params["predictors"]["instruct_score_predictor"], x)
+        keep = gumbel_keep_mask(rngs[2], tp, gumbel_tau)
+        in_len = last_instruct_end - last_instruct_start
+        long_enough = in_len >= sparse.instruct_len_for_training
+        instruct_span = (
+            _span_mask(s, last_instruct_start, last_instruct_end)
+            & valid
+            & long_enough[:, None]
+        )
+        mask_full = jnp.where(instruct_span, keep, 1.0)
+        policy = policy * mask_full
+        instruct_mask = mask_full
+
+    use_policy = (
+        sparse.use_vision_predictor
+        or sparse.use_output_text_predictor
+        or sparse.use_instruct_predictor
+    )
+    x = llama.run_layers_nocache(
+        params["llm"], tcfg, x, positions,
+        lo=sl, hi=tcfg.num_hidden_layers,
+        policy=policy if use_policy else None,
+        remat=remat,
+    )
+    logits = llama.lm_head(params["llm"], tcfg, x)
+    return TrainForwardOut(
+        logits=logits,
+        image_mask=image_mask,
+        output_text_mask=output_text_mask,
+        instruct_mask=instruct_mask,
+        image_span=image_span,
+        answer_span=answer_span,
+        instruct_span=instruct_span,
+    )
+
+
+def gen_cache_sizes(cfg: LlavaConfig, prompt_len: int, max_new_tokens: int,
+                    margin: int = 8) -> Tuple[int, int]:
+    """Static cache capacities: the pre tier holds everything; the post tier
+    is sized by the pruned prefill budget + decode headroom. This is where
+    the image-token pruning (576 -> ~115) turns into a smaller buffer — and
+    therefore less attention bandwidth — for all layers >= sparse_layer."""
+    pre = prompt_len + max_new_tokens + margin
+    sparse = cfg.sparse
+    post_prefill = prompt_len
+    if sparse.use_vision_predictor:
+        n_img = cfg.num_image_tokens
+        post_prefill = prompt_len - n_img + sparse.vision_keep_budget(n_img)
+    post = post_prefill + max_new_tokens + margin
+    return pre, post
+
+
+def make_gen_cache(
+    cfg: LlavaConfig, batch: int, prompt_len: int, max_new_tokens: int,
+    dtype=jnp.bfloat16,
+) -> TieredCache:
+    pre, post = gen_cache_sizes(cfg, prompt_len, max_new_tokens)
+    return init_tiered_cache(
+        cfg.text, cfg.sparse.sparse_layer, batch, pre, post, dtype
+    )

@@ -28,7 +28,13 @@ import jax
 import jax.numpy as jnp
 
 from ..config import LlamaConfig
-from ..ops.attention import attend, attend_with_policy, decode_attend, make_attention_mask
+from ..ops.attention import (
+    attend,
+    attend_with_policy,
+    decode_attend,
+    make_attention_mask,
+    self_attend,
+)
 from ..ops.kv_cache import KVCache, write_token
 from ..ops.norm import rms_norm
 from ..ops.rope import apply_rope_for_config
@@ -114,12 +120,13 @@ def layer_nocache(
     b, s, d = x.shape
     h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
     q, k, v = _qkv(lp, cfg, h, positions)
-    if mask is None:
-        mask = make_attention_mask(s, s, causal=True, batch=b)
-    if policy is not None:
-        o = attend_with_policy(q, k, v, policy, mask=mask)
+    if mask is not None:
+        if policy is not None:
+            o = attend_with_policy(q, k, v, policy, mask=mask)
+        else:
+            o = attend(q, k, v, mask=mask)
     else:
-        o = attend(q, k, v, mask=mask)
+        o = self_attend(q, k, v, policy=policy)
     x = x + o.reshape(b, s, -1) @ lp["o"]
     h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
     return x + _mlp(lp, h)
@@ -176,15 +183,19 @@ def run_layers_prefill(
     compacted) sequence, K/V written to cache slots [0, S) with
     ``length = valid_len``.
 
+    ``cache`` covers exactly the layer range [lo, hi) (layer axis is
+    range-relative) — this is what lets the sparse tier of a TieredCache be
+    allocated at the pruned-budget length.
+
     Because valid tokens are left-aligned and in ascending original order,
     plain causal masking is exact; padding rows compute garbage that is never
     read (logits are gathered at valid_len-1, decode masks by length).
     """
     hi = cfg.num_hidden_layers if hi is None else hi
+    assert cache.num_layers == hi - lo, (cache.num_layers, lo, hi)
     sliced = slice_layers(params["layers"], lo, hi)
     b, s, d = x.shape
-    mask = make_attention_mask(s, s, causal=True, batch=b)
-    layer_ids = jnp.arange(lo, hi, dtype=jnp.int32)
+    layer_ids = jnp.arange(hi - lo, dtype=jnp.int32)
 
     def body(carry, inp):
         x, ck, cv = carry
@@ -197,14 +208,14 @@ def run_layers_prefill(
         cv = jax.lax.dynamic_update_slice(
             cv, v[None].astype(cv.dtype), (li, 0, 0, 0, 0)
         )
-        o = attend(q, k, v, mask=mask)
+        o = self_attend(q, k, v)
         x = x + o.reshape(b, s, -1) @ lp["o"]
         hh = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
         x = x + _mlp(lp, hh)
         return (x, ck, cv), None
 
     (x, ck, cv), _ = jax.lax.scan(body, (x, cache.k, cache.v), (sliced, layer_ids))
-    length = cache.length.at[lo:hi].set(valid_len[None, :])
+    length = jnp.broadcast_to(valid_len[None, :], cache.length.shape)
     return PrefillResult(x=x, cache=KVCache(k=ck, v=cv, length=length))
 
 
@@ -223,17 +234,19 @@ def run_layers_decode(
     lo: int = 0,
     hi: Optional[int] = None,
 ) -> DecodeResult:
-    """One decode step through layers [lo, hi).
+    """One decode step through layers [lo, hi). ``cache`` covers exactly the
+    range (layer axis is range-relative).
 
     Each layer writes the token's K/V at its ``length`` slot and attends over
     ``[0, length + 1)``. Lengths are advanced by the caller (see
-    ``ops.kv_cache.advance_lengths``) so a kept/dropped decision made at the
+    ``ops.kv_cache.advance_tiered``) so a kept/dropped decision made at the
     sparse layer applies uniformly.
     """
     hi = cfg.num_hidden_layers if hi is None else hi
+    assert cache.num_layers == hi - lo, (cache.num_layers, lo, hi)
     sliced = slice_layers(params["layers"], lo, hi)
     b = x.shape[0]
-    layer_ids = jnp.arange(lo, hi, dtype=jnp.int32)
+    layer_ids = jnp.arange(hi - lo, dtype=jnp.int32)
 
     def body(carry, inp):
         x, ck, cv = carry

@@ -28,10 +28,49 @@ QK^T and PV land on the MXU without transposes.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+
+def flash_enabled(head_dim: int) -> bool:
+    """Use the Pallas fused kernel when on real TPU hardware with a
+    kernel-friendly head dim. Override with DYNAMIC_LLAVA_FLASH=0/1."""
+    env = os.environ.get("DYNAMIC_LLAVA_FLASH")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    if head_dim < 64 or head_dim % 8 != 0:
+        return False
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        return False
+    return plat in ("tpu", "axon")
+
+
+def self_attend(
+    q: jax.Array,  # [B, S, H, d]
+    k: jax.Array,  # [B, S, Hkv, d]
+    v: jax.Array,  # [B, S, Hkv, d]
+    *,
+    valid_len: Optional[jax.Array] = None,  # [B] — kv cols >= valid_len masked
+    policy: Optional[jax.Array] = None,  # [B, S] soft keep mask (training)
+) -> jax.Array:
+    """Causal self-attention dispatcher: Pallas flash kernel on TPU for the
+    plain paths, XLA oracle elsewhere and for policy (training) attention."""
+    b, s, h, d = q.shape
+    if policy is None and flash_enabled(d):
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, kv_length=valid_len, causal=True)
+    mask = make_attention_mask(
+        s, s, causal=True, kv_length=valid_len, batch=b
+    )
+    if policy is not None:
+        return attend_with_policy(q, k, v, policy, mask=mask)
+    return attend(q, k, v, mask=mask)
 
 
 def repeat_kv_heads(x: jax.Array, n_rep: int) -> jax.Array:

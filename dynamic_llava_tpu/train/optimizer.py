@@ -1,0 +1,101 @@
+"""Grouped optimizer.
+
+Rebuild of the reference's 4-group optimizer
+(/root/reference/llava/train/dynamic_llava_trainer.py:298-398): predictor
+params train at ``predictor_lr`` (2e-4) while the base model trains at the
+base lr (5e-6), each split into decay / no-decay (norms & biases) groups.
+The frozen vision tower gets ``set_to_zero``. Implemented with
+``optax.multi_transform`` over a label pytree.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import optax
+
+
+def _is_no_decay(path) -> bool:
+    """Norm weights and biases are excluded from weight decay."""
+    keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+    flat = "/".join(str(k) for k in keys)
+    return (
+        flat.endswith("/b")
+        or "ln" in flat.split("/")[-1]
+        or "_ln" in flat
+        or "norm" in flat
+    )
+
+
+def label_params(params) -> Any:
+    """'frozen' (vision tower) | 'predictor[_nd]' | 'base[_nd]'."""
+
+    def label(path, leaf):
+        keys = "/".join(str(getattr(p, "key", p)) for p in path)
+        if keys.startswith("vision_tower"):
+            return "frozen"
+        group = "predictor" if keys.startswith("predictors") else "base"
+        return group + ("_nd" if _is_no_decay(path) else "")
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_optimizer(
+    base_lr: float = 5e-6,
+    predictor_lr: float = 2e-4,
+    weight_decay: float = 0.0,
+    predictor_weight_decay: float = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    lr_schedule=None,
+    predictor_lr_schedule=None,
+    grad_clip: float = 1.0,
+) -> optax.GradientTransformation:
+    def adamw(lr, wd):
+        tx = optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=wd)
+        if grad_clip and grad_clip > 0:
+            return optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+        return tx
+
+    transforms = {
+        "base": adamw(lr_schedule or base_lr, weight_decay),
+        "base_nd": adamw(lr_schedule or base_lr, 0.0),
+        "predictor": adamw(predictor_lr_schedule or predictor_lr, predictor_weight_decay),
+        "predictor_nd": adamw(predictor_lr_schedule or predictor_lr, 0.0),
+        "frozen": optax.set_to_zero(),
+    }
+    return optax.multi_transform(transforms, label_params)
+
+
+def cosine_with_warmup(
+    peak_lr: float, total_steps: int, warmup_ratio: float = 0.03
+) -> optax.Schedule:
+    """The reference recipe: cosine decay, 3% linear warmup
+    (run/train_dynamic_llava_7b.sh:33-37)."""
+    warmup = max(1, int(total_steps * warmup_ratio))
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=peak_lr,
+        warmup_steps=warmup,
+        decay_steps=total_steps,
+        end_value=0.0,
+    )
+
+
+def gumbel_tau_schedule(
+    start_tau: float, end_tau: float, total_steps: int
+):
+    """Exponential tau annealing per step (reference
+    dynamic_llava_trainer.py:243-246)."""
+
+    def tau(step):
+        import jax.numpy as jnp
+
+        frac = jnp.clip(step / max(total_steps, 1), 0.0, 1.0)
+        return jnp.exp(
+            jnp.log(start_tau) + (jnp.log(end_tau) - jnp.log(start_tau)) * frac
+        )
+
+    return tau

@@ -1,0 +1,117 @@
+"""Jitted training step with mesh sharding.
+
+One XLA program per step: forward (Gumbel policy path) + losses + grads +
+grouped-optimizer update, sharded over the (data, fsdp, tensor) mesh —
+the TPU-native equivalent of the reference's DeepSpeed ZeRO-3 step
+(SURVEY.md §2.8). Gradient checkpointing is applied per scanned layer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import LlavaConfig
+from ..models import dynamic
+from ..multimodal.fusion import FusionPlan
+from .losses import total_loss
+
+
+class TrainBatch(NamedTuple):
+    """Device-side training batch (built from a FusionPlan + images)."""
+
+    token_ids: jax.Array  # [B, S]
+    is_image: jax.Array  # [B, S] bool
+    image_slot: jax.Array  # [B, S]
+    labels: jax.Array  # [B, S]
+    valid_len: jax.Array  # [B]
+    image_start: jax.Array  # [B]
+    answer_start: jax.Array  # [B]
+    answer_end: jax.Array  # [B]
+    last_instruct_start: jax.Array  # [B]
+    last_instruct_end: jax.Array  # [B]
+    has_image: jax.Array  # [B] bool
+    pixel_values: Optional[jax.Array]  # [B, H, W, 3] or None
+
+
+def batch_from_plan(plan: FusionPlan, pixel_values) -> TrainBatch:
+    sp = plan.spans
+    return TrainBatch(
+        token_ids=jnp.asarray(plan.token_ids),
+        is_image=jnp.asarray(plan.is_image),
+        image_slot=jnp.asarray(plan.image_slot),
+        labels=jnp.asarray(plan.labels),
+        valid_len=jnp.asarray(plan.valid_len),
+        image_start=jnp.asarray(sp.image_start),
+        answer_start=jnp.asarray(sp.answer_start),
+        answer_end=jnp.asarray(sp.answer_end),
+        last_instruct_start=jnp.asarray(sp.last_instruct_start),
+        last_instruct_end=jnp.asarray(sp.last_instruct_end),
+        has_image=jnp.asarray(sp.has_image),
+        pixel_values=None if pixel_values is None else jnp.asarray(pixel_values),
+    )
+
+
+def loss_fn(params, cfg: LlavaConfig, batch: TrainBatch, rng, tau, remat=True):
+    out = dynamic.forward_train(
+        params, cfg,
+        batch.token_ids, batch.is_image, batch.image_slot, batch.valid_len,
+        batch.image_start, batch.answer_start, batch.answer_end,
+        batch.last_instruct_start, batch.last_instruct_end, batch.has_image,
+        batch.pixel_values, rng, tau, remat=remat,
+    )
+    return total_loss(out, batch.labels, cfg.sparse)
+
+
+def make_train_step(
+    cfg: LlavaConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    param_specs=None,
+    remat: bool = True,
+):
+    """Returns jitted ``step(params, opt_state, batch, rng, tau) ->
+    (params, opt_state, metrics)``. With a mesh, params/opt-state are
+    sharded per ``param_specs`` and the batch over the 'data' axis."""
+
+    def step(params, opt_state, batch: TrainBatch, rng, tau):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, cfg, batch, rng, tau, remat)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def to_sharding(spec_tree):
+        return jax.tree.map(
+            lambda s: NamedSharding(mesh, s),
+            spec_tree,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+
+    params_sh = to_sharding(param_specs)
+
+    # Only params are pinned; the opt state inherits their sharding through
+    # GSPMD propagation (ZeRO-style: Adam moments shard with their params)
+    # and the caller device_puts the batch over the 'data' axis
+    # (see shard_batch).
+    return jax.jit(
+        step,
+        in_shardings=(params_sh, None, None, None, None),
+        out_shardings=(params_sh, None, None),
+        donate_argnums=(0, 1),
+    )
+
+
+def shard_batch(batch: TrainBatch, mesh: Mesh) -> TrainBatch:
+    sh = NamedSharding(mesh, P("data"))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -12,4 +12,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-sets jax_platforms to "axon,cpu" (real TPU via
+# tunnel) regardless of JAX_PLATFORMS; override it back to CPU for tests.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,54 @@
+"""Pallas flash attention vs the XLA oracle (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dynamic_llava_tpu.ops.attention import attend, make_attention_mask
+from dynamic_llava_tpu.ops.flash_attention import flash_attention
+
+
+def _rand(shape, seed):
+    return jnp.asarray(np.random.default_rng(seed).normal(size=shape), jnp.float32)
+
+
+@pytest.mark.parametrize("sq,heads,kv_heads", [(160, 4, 4), (64, 4, 2)])
+def test_causal_matches_oracle(sq, heads, kv_heads):
+    b, d = 2, 32
+    q = _rand((b, sq, heads, d), 0)
+    k = _rand((b, sq, kv_heads, d), 1)
+    v = _rand((b, sq, kv_heads, d), 2)
+    ref = attend(q, k, v, mask=make_attention_mask(sq, sq, causal=True, batch=b))
+    got = flash_attention(q, k, v, causal=True, block_q=64, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-4)
+
+
+def test_kv_length_masking():
+    b, s, h, d = 2, 96, 2, 32
+    q = _rand((b, s, h, d), 3)
+    k = _rand((b, s, h, d), 4)
+    v = _rand((b, s, h, d), 5)
+    kv_len = jnp.asarray([50, 96], jnp.int32)
+    mask = make_attention_mask(s, s, causal=True, kv_length=kv_len, batch=b)
+    ref = attend(q, k, v, mask=mask)
+    got = flash_attention(
+        q, k, v, kv_length=kv_len, causal=True, block_q=32, block_k=128, interpret=True
+    )
+    # compare only valid rows (padding rows are undefined in both)
+    for i in range(b):
+        L = int(kv_len[i])
+        np.testing.assert_allclose(
+            np.asarray(got[i, :L]), np.asarray(ref[i, :L]), atol=2e-5, rtol=2e-4
+        )
+
+
+def test_non_causal():
+    b, s, h, d = 1, 64, 2, 32
+    q = _rand((b, s, h, d), 6)
+    k = _rand((b, s, h, d), 7)
+    v = _rand((b, s, h, d), 8)
+    ref = attend(q, k, v)
+    got = flash_attention(q, k, v, causal=False, block_q=64, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-4)

@@ -1,0 +1,126 @@
+"""Multi-device sharding tests on the 8-virtual-CPU mesh."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dynamic_llava_tpu.config import ClipVisionConfig, LlamaConfig, LlavaConfig, SparseConfig
+from dynamic_llava_tpu.models import dynamic
+from dynamic_llava_tpu.parallel.sharding import (
+    llava_param_specs,
+    make_mesh,
+    shard_params,
+)
+from dynamic_llava_tpu.train.optimizer import label_params, make_optimizer
+from dynamic_llava_tpu.train.step import batch_from_plan, make_train_step, shard_batch
+
+
+def _cfg():
+    return LlavaConfig(
+        text=LlamaConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=4,
+        ),
+        vision=ClipVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=56, patch_size=14,
+        ),
+        sparse=SparseConfig(
+            use_vision_predictor=True, use_output_text_predictor=True,
+            use_instruct_predictor=False, output_text_len_for_training=2,
+            d_model=32, nhead=2, dim_feedforward=64, num_layers=1,
+        ),
+    )
+
+
+def _batch(cfg, batch_size):
+    from dynamic_llava_tpu.multimodal.fusion import plan_batch
+
+    rng = np.random.default_rng(0)
+    ids, labels = [], []
+    for _ in range(batch_size):
+        row = rng.integers(3, cfg.text.vocab_size, size=(20,)).astype(np.int64)
+        row[1] = -200
+        lab = row.copy()
+        lab[:14] = -100
+        ids.append(row)
+        labels.append(lab)
+    plan = plan_batch(ids, cfg.num_image_tokens, labels_list=labels)
+    imgs = rng.normal(
+        size=(batch_size, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    return plan, imgs
+
+
+def test_optimizer_labels():
+    cfg = _cfg()
+    params = dynamic.init_llava_params(jax.random.key(0), cfg)
+    labels = label_params(params)
+    flat = jax.tree_util.tree_leaves_with_path(labels)
+    seen = {leaf for _, leaf in flat}
+    assert seen == {"frozen", "base", "base_nd", "predictor", "predictor_nd"}
+    # all vision tower leaves frozen
+    vt = jax.tree_util.tree_leaves(labels["vision_tower"])
+    assert set(vt) == {"frozen"}
+    pred = set(jax.tree_util.tree_leaves(labels["predictors"]))
+    assert pred <= {"predictor", "predictor_nd"}
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_train_step_matches_single_device():
+    cfg = _cfg()
+    params = dynamic.init_llava_params(jax.random.key(0), cfg)
+    optimizer = make_optimizer(base_lr=1e-3, predictor_lr=1e-3)
+    plan, imgs = _batch(cfg, batch_size=4)
+    batch = batch_from_plan(plan, imgs)
+    rng = jax.random.key(7)
+    tau = jnp.float32(1.0)
+
+    # single-device reference
+    step1 = make_train_step(cfg, optimizer, remat=False)
+    p1, _, m1 = step1(
+        jax.tree.map(jnp.copy, params), optimizer.init(params), batch, rng, tau
+    )
+
+    # sharded: data=2, fsdp=2, tensor=2
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    specs = llava_param_specs(cfg, params)
+    sharded = shard_params(jax.tree.map(jnp.copy, params), mesh, specs)
+    stepN = make_train_step(cfg, optimizer, mesh=mesh, param_specs=specs, remat=False)
+    with mesh:
+        pN, _, mN = stepN(
+            sharded, optimizer.init(sharded), shard_batch(batch, mesh), rng, tau
+        )
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(mN["loss"]), rtol=2e-4, atol=2e-5
+    )
+    # updated params agree across the mesh
+    a = np.asarray(p1["llm"]["layers"]["q"])
+    b = np.asarray(pN["llm"]["layers"]["q"])
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+    # frozen tower untouched
+    np.testing.assert_array_equal(
+        np.asarray(params["vision_tower"]["patch_embedding"]),
+        np.asarray(pN["vision_tower"]["patch_embedding"]),
+    )
+
+
+def test_train_step_decreases_loss_single_device():
+    cfg = _cfg()
+    params = dynamic.init_llava_params(jax.random.key(1), cfg)
+    optimizer = make_optimizer(base_lr=5e-3, predictor_lr=5e-3)
+    opt_state = optimizer.init(params)
+    plan, imgs = _batch(cfg, batch_size=2)
+    batch = batch_from_plan(plan, imgs)
+    step = make_train_step(cfg, optimizer, remat=True)
+    losses = []
+    for i in range(4):
+        params, opt_state, metrics = step(
+            params, opt_state, batch, jax.random.key(i), jnp.float32(1.0)
+        )
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
