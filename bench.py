@@ -60,27 +60,55 @@ def _cfg(name: str):
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
-
-    from dynamic_llava_tpu.eval.bench import bench_config, dense_config
-    from dynamic_llava_tpu.models import dynamic
-
-    platform = jax.devices()[0].platform
-    default_model = "7b" if platform not in ("cpu",) else "small"
-    model = os.environ.get("BENCH_MODEL", default_model)
+    model = os.environ.get("BENCH_MODEL", "7b")
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     new_tokens = int(os.environ.get("BENCH_TOKENS", "64"))
     text_len = int(os.environ.get("BENCH_TEXT", "64"))
 
     cfg = _cfg(model)
-    params = dynamic.init_llava_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
-    params = jax.block_until_ready(params)
+    platform = "unknown"
+    if os.environ.get("BENCH_ONLY"):
+        # only the child processes touch the device: the axon tunnel serves
+        # one client, and the parent must not hold HBM while an arm runs
+        import jax
+        import jax.numpy as jnp
 
-    sparse = bench_config(params, cfg, batch=batch, text_len=text_len,
-                          new_tokens=new_tokens)
-    dense = bench_config(params, dense_config(cfg), batch=batch,
-                         text_len=text_len, new_tokens=new_tokens)
+        from dynamic_llava_tpu.eval.bench import bench_config, dense_config
+        from dynamic_llava_tpu.models import dynamic
+
+        platform = jax.devices()[0].platform
+        params = dynamic.init_llava_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
+        params = jax.block_until_ready(params)
+
+    only = os.environ.get("BENCH_ONLY")
+    if only:
+        c = dense_config(cfg) if only == "dense" else cfg
+        r = bench_config(params, c, batch=batch, text_len=text_len,
+                         new_tokens=new_tokens)
+        print("BENCH_RESULT " + json.dumps(r))
+        return
+
+    # each arm runs in its own process: at 7B the weights leave <2.3 GB of
+    # HBM headroom and allocator fragmentation from one arm OOMs the next
+    import subprocess
+    import sys
+
+    def run(which):
+        env = dict(os.environ, BENCH_ONLY=which)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3400,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("BENCH_RESULT "):
+                return json.loads(line[len("BENCH_RESULT "):])
+        raise RuntimeError(
+            f"bench arm {which} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+        )
+
+
+    sparse = run("sparse")
+    dense = run("dense")
 
     result = {
         "metric": f"decode_tok_s_sparse_{model}_b{batch}",
@@ -88,7 +116,6 @@ def main():
         "unit": "tok/s",
         "vs_baseline": round(sparse["decode_tok_s"] / dense["decode_tok_s"], 4),
         "detail": {
-            "platform": platform,
             "sparse": sparse,
             "dense": dense,
             "ttft_speedup": round(dense["ttft_ms"] / sparse["ttft_ms"], 4),

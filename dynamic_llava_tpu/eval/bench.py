@@ -40,10 +40,12 @@ def build_inputs(cfg: LlavaConfig, batch: int, text_len: int, seed: int = 0):
     return plan, imgs
 
 
-def make_decode_many(params, cfg: LlavaConfig, n_steps: int):
-    """Jitted greedy decode of n_steps tokens entirely on device."""
+def make_decode_many(cfg: LlavaConfig, n_steps: int):
+    """Jitted greedy decode of n_steps tokens entirely on device. ``params``
+    is an explicit argument — closing over it would embed 13+ GB of weights
+    as HLO constants."""
 
-    def decode_many(state: dynamic.GenState):
+    def decode_many(params, state: dynamic.GenState):
         def body(state, _):
             tok = jnp.argmax(state.last_logits, axis=-1)
             state = dynamic.decode_step(params, cfg, tok, state)
@@ -52,7 +54,7 @@ def make_decode_many(params, cfg: LlavaConfig, n_steps: int):
         state, toks = jax.lax.scan(body, state, None, length=n_steps)
         return state, toks
 
-    return jax.jit(decode_many, donate_argnums=(0,))
+    return jax.jit(decode_many, donate_argnums=(1,))
 
 
 def bench_config(
@@ -76,34 +78,50 @@ def bench_config(
         jnp.asarray(plan.spans.has_image),
     )
 
-    def prefill_fn(*a):
-        cache = dynamic.make_gen_cache(
-            cfg, plan.batch, plan.seq_len, new_tokens, cache_dtype
-        )
+    def prefill_fn(params, cache, *a):
         state, _ = dynamic.prefill(params, cfg, *a, cache)
         return state
 
-    prefill_jit = jax.jit(prefill_fn)
-    state = jax.block_until_ready(prefill_jit(*args, imgs))  # compile
+    def fresh_cache():
+        # allocated OUTSIDE jit and donated: inside jit the zeros become
+        # program temp and the scan carry needs a second copy — together
+        # ~1.5 GB that doesn't fit next to 7B weights on one chip
+        return dynamic.make_gen_cache(
+            cfg, plan.batch, plan.seq_len, new_tokens, cache_dtype
+        )
+
+    prefill_jit = jax.jit(prefill_fn, donate_argnums=(1,))
+    state = jax.block_until_ready(prefill_jit(params, fresh_cache(), *args, imgs))
 
     times = []
     for _ in range(prefill_reps):
+        cache = jax.block_until_ready(fresh_cache())
         t0 = time.perf_counter()
-        state = jax.block_until_ready(prefill_jit(*args, imgs))
+        state = jax.block_until_ready(prefill_jit(params, cache, *args, imgs))
         times.append(time.perf_counter() - t0)
     ttft_ms = float(np.median(times) * 1e3)
 
-    decode_many = make_decode_many(params, cfg, new_tokens)
-    state2, _ = jax.block_until_ready(decode_many(state))  # compile+run
+    decode_many = make_decode_many(cfg, new_tokens)
+    state2, _ = jax.block_until_ready(decode_many(params, state))  # compile+run
     post_len = float(np.mean(np.asarray(state2.cache.post.length)))
     # re-prefill (decode donated the state) and time steady-state decode
-    state = jax.block_until_ready(prefill_jit(*args, imgs))
+    state = jax.block_until_ready(prefill_jit(params, fresh_cache(), *args, imgs))
     t0 = time.perf_counter()
-    state2, toks = jax.block_until_ready(decode_many(state))
+    state2, toks = jax.block_until_ready(decode_many(params, state))
     dt = time.perf_counter() - t0
     decode_tok_s = batch * new_tokens / dt
 
+    mem = {}
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        mem = {
+            "bytes_in_use_gb": round(stats.get("bytes_in_use", 0) / 2**30, 3),
+            "peak_bytes_gb": round(stats.get("peak_bytes_in_use", 0) / 2**30, 3),
+        }
+    except Exception:
+        pass
     return {
+        **mem,
         "ttft_ms": ttft_ms,
         "decode_tok_s": float(decode_tok_s),
         "prefill_len": float(np.mean(np.asarray(plan.valid_len))),

@@ -59,10 +59,13 @@ class Generator:
         self.params = params
         self.cfg = cfg
         self.gen_cfg = gen_cfg
-        self._prefill = jax.jit(functools.partial(dynamic.prefill, params, cfg))
+        # params are explicit jit arguments (a closure would bake the full
+        # weight pytree into the HLO as constants); cfg is static.
+        self._prefill = jax.jit(
+            dynamic.prefill, static_argnums=(1,), donate_argnums=(11,)
+        )
         self._decode = jax.jit(
-            functools.partial(dynamic.decode_step, params, cfg),
-            donate_argnums=(1,),
+            dynamic.decode_step, static_argnums=(1,), donate_argnums=(3,)
         )
 
     def prefill_from_plan(self, plan: FusionPlan, pixel_values, max_new_tokens: int):
@@ -71,6 +74,7 @@ class Generator:
             self.cfg, plan.batch, plan.seq_len, max_new_tokens, cache_dtype
         )
         state, info = self._prefill(
+            self.params, self.cfg,
             jnp.asarray(plan.token_ids),
             jnp.asarray(plan.is_image),
             jnp.asarray(plan.image_slot),
@@ -123,7 +127,7 @@ class Generator:
                         done[i] = True
             if done.all() or step == gc.max_new_tokens - 1:
                 break
-            state = self._decode(tok, state)
+            state = self._decode(self.params, self.cfg, tok, state)
         return out
 
     def cache_lengths(self, state: dynamic.GenState) -> np.ndarray:

@@ -72,6 +72,39 @@ def llava_config_from_hf_dict(d: dict) -> LlavaConfig:
     )
 
 
+def infer_vision_config_from_sd(sd: dict, base: ClipVisionConfig) -> ClipVisionConfig:
+    """Derive tower dimensions from checkpoint weight shapes (robust to
+    non-standard towers; the reference trusts the hub name instead)."""
+    prefixes = [
+        "model.vision_tower.vision_tower.vision_model.",
+        "vision_tower.vision_tower.vision_model.",
+        "vision_model.",
+    ]
+    for pref in prefixes:
+        pe = sd.get(f"{pref}embeddings.patch_embedding.weight")
+        if pe is None:
+            continue
+        hidden, _, patch, _ = pe.shape
+        pos = sd[f"{pref}embeddings.position_embedding.weight"].shape[0]
+        n_side = int(round((pos - 1) ** 0.5))
+        n_layers = 0
+        while f"{pref}encoder.layers.{n_layers}.layer_norm1.weight" in sd:
+            n_layers += 1
+        fc1 = sd[f"{pref}encoder.layers.0.mlp.fc1.weight"].shape[0]
+        # head count is not recoverable from shapes; keep the base ratio
+        heads = max(1, base.num_attention_heads * hidden // base.hidden_size)
+        return dataclasses.replace(
+            base,
+            hidden_size=int(hidden),
+            intermediate_size=int(fc1),
+            num_hidden_layers=n_layers,
+            num_attention_heads=int(heads),
+            image_size=int(n_side * patch),
+            patch_size=int(patch),
+        )
+    return base
+
+
 def params_from_state_dict(sd: dict, cfg: LlavaConfig, dtype=np.float32) -> dict:
     """Full Dynamic-LLaVA state dict -> param bundle. Tower weights may live
     under model.vision_tower.vision_tower.vision_model (reference naming)."""
@@ -152,6 +185,9 @@ def load_pretrained_model(
         tower_sd = convert.load_state_dict_from_dir(tower_path)
         sd.update(tower_sd)
 
+    cfg = dataclasses.replace(
+        cfg, vision=infer_vision_config_from_sd(sd, cfg.vision)
+    )
     np_dtype = np.float32 if dtype == jnp.float32 else np.float32
     params = params_from_state_dict(sd, cfg, dtype=np_dtype)
     params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)

@@ -40,7 +40,7 @@ def init_clip_params(key: jax.Array, cfg: ClipVisionConfig, dtype=jnp.float32):
     ks = jax.random.split(key, 10)
 
     def init(k, shape, scale=0.02):
-        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+        return jax.random.normal(k, shape, dtype) * jnp.asarray(scale, dtype)
 
     def ln_stack():
         return jnp.ones((n, d), dtype), jnp.zeros((n, d), dtype)

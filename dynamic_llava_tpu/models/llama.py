@@ -53,7 +53,9 @@ def init_llama_params(key: jax.Array, cfg: LlamaConfig, dtype=jnp.float32):
     ks = jax.random.split(key, 9)
 
     def init(k, shape):
-        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)
+        # sample directly in the target dtype: an fp32 intermediate for the
+        # stacked 7B weights would transiently double HBM at init
+        return jax.random.normal(k, shape, dtype) * jnp.asarray(0.02, dtype)
 
     layers = {
         "input_ln": jnp.ones((l, d), dtype),
@@ -78,6 +80,19 @@ def init_llama_params(key: jax.Array, cfg: LlamaConfig, dtype=jnp.float32):
 
 def slice_layers(layers, lo: int, hi: Optional[int]):
     return jax.tree.map(lambda a: a[lo:hi], layers)
+
+
+def index_layer(layers, i):
+    """Dynamically select one layer's params from the full stack.
+
+    Used inside scans-over-layer-indices: the stack stays a single
+    loop-invariant HBM buffer and each step reads one [1, ...] slice —
+    unlike ``slice_layers``, which materializes a copy of the sub-range
+    (for a 7B model that copy is ~12 GB and OOMs a single chip)."""
+    return jax.tree.map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, i, axis=0, keepdims=False),
+        layers,
+    )
 
 
 def embed_tokens(params, ids: jax.Array) -> jax.Array:
@@ -150,16 +165,18 @@ def run_layers_nocache(
     remat: bool = False,
 ) -> jax.Array:
     """Run layers [lo, hi) without a KV cache (training / parity paths)."""
-    sliced = slice_layers(params["layers"], lo, hi)
+    hi = cfg.num_hidden_layers if hi is None else hi
+    layers = params["layers"]
 
-    def body(x, lp):
+    def body(x, li):
+        lp = index_layer(layers, li)
         return layer_nocache(lp, cfg, x, positions, mask, policy), None
 
     if remat:
         body = jax.checkpoint(
             body, policy=jax.checkpoint_policies.nothing_saveable
         )
-    x, _ = jax.lax.scan(body, x, sliced)
+    x, _ = jax.lax.scan(body, x, jnp.arange(lo, hi, dtype=jnp.int32))
     return x
 
 
@@ -193,13 +210,13 @@ def run_layers_prefill(
     """
     hi = cfg.num_hidden_layers if hi is None else hi
     assert cache.num_layers == hi - lo, (cache.num_layers, lo, hi)
-    sliced = slice_layers(params["layers"], lo, hi)
+    layers = params["layers"]
     b, s, d = x.shape
     layer_ids = jnp.arange(hi - lo, dtype=jnp.int32)
 
-    def body(carry, inp):
+    def body(carry, li):
         x, ck, cv = carry
-        lp, li = inp
+        lp = index_layer(layers, li + lo)
         h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
         q, k, v = _qkv(lp, cfg, h, positions)
         ck = jax.lax.dynamic_update_slice(
@@ -214,7 +231,7 @@ def run_layers_prefill(
         x = x + _mlp(lp, hh)
         return (x, ck, cv), None
 
-    (x, ck, cv), _ = jax.lax.scan(body, (x, cache.k, cache.v), (sliced, layer_ids))
+    (x, ck, cv), _ = jax.lax.scan(body, (x, cache.k, cache.v), layer_ids)
     length = jnp.broadcast_to(valid_len[None, :], cache.length.shape)
     return PrefillResult(x=x, cache=KVCache(k=ck, v=cv, length=length))
 
@@ -244,13 +261,13 @@ def run_layers_decode(
     """
     hi = cfg.num_hidden_layers if hi is None else hi
     assert cache.num_layers == hi - lo, (cache.num_layers, lo, hi)
-    sliced = slice_layers(params["layers"], lo, hi)
+    layers = params["layers"]
     b = x.shape[0]
     layer_ids = jnp.arange(hi - lo, dtype=jnp.int32)
 
-    def body(carry, inp):
+    def body(carry, li):
         x, ck, cv = carry
-        lp, li = inp
+        lp = index_layer(layers, li + lo)
         h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
         q, k, v = _qkv(lp, cfg, h, positions)
         length_l = jax.lax.dynamic_index_in_dim(
@@ -267,7 +284,7 @@ def run_layers_decode(
         x = x + _mlp(lp, hh)
         return (x, ck, cv), None
 
-    (x, ck, cv), _ = jax.lax.scan(body, (x, cache.k, cache.v), (sliced, layer_ids))
+    (x, ck, cv), _ = jax.lax.scan(body, (x, cache.k, cache.v), layer_ids)
     return DecodeResult(x=x, cache=KVCache(k=ck, v=cv, length=cache.length))
 
 

@@ -28,7 +28,7 @@ from ..ops.norm import layer_norm
 
 def _linear(key, d_in, d_out, dtype, bias=True):
     k1, _ = jax.random.split(key)
-    p = {"w": jax.random.normal(k1, (d_in, d_out), dtype) * 0.02}
+    p = {"w": jax.random.normal(k1, (d_in, d_out), dtype) * jnp.asarray(0.02, dtype)}
     if bias:
         p["b"] = jnp.zeros((d_out,), dtype)
     return p

@@ -39,8 +39,10 @@ def init_projector_params(
     dims = [mm_hidden_size] + [hidden_size] * depth
     ks = jax.random.split(key, depth)
     for i in range(depth):
-        w = (jax.random.normal(ks[i], (dims[i], dims[i + 1]), jnp.float32) * 0.02)
-        layers.append({"w": w.astype(dtype), "b": jnp.zeros((dims[i + 1],), dtype)})
+        w = jax.random.normal(ks[i], (dims[i], dims[i + 1]), dtype) * jnp.asarray(
+            0.02, dtype
+        )
+        layers.append({"w": w, "b": jnp.zeros((dims[i + 1],), dtype)})
     return layers
 
 

@@ -1,0 +1,289 @@
+"""Model worker: loads a model, serves streaming generation over HTTP.
+
+Rebuild of /root/reference/llava/serve/model_worker.py:49-369: registers with
+the controller, heartbeats, and streams tokens as b"\\0"-delimited JSON
+chunks. Generation runs on the jitted prefill/decode path; a semaphore
+bounds concurrent requests per TPU (the chip runs one program at a time, so
+the queue is the concurrency mechanism, same as the reference's GPU worker).
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import base64
+import json
+import threading
+import time
+import uuid
+from functools import partial
+from io import BytesIO
+
+import numpy as np
+
+from ..constants import WORKER_HEART_BEAT_INTERVAL
+from ..utils import build_logger, pretty_print_semaphore, server_error_msg
+
+GB = 1 << 30
+
+worker_id = str(uuid.uuid4())[:6]
+logger = build_logger("model_worker", f"model_worker_{worker_id}.log")
+
+
+def heart_beat_worker(worker: "ModelWorker"):
+    while True:
+        time.sleep(WORKER_HEART_BEAT_INTERVAL)
+        worker.send_heart_beat()
+
+
+class ModelWorker:
+    def __init__(
+        self,
+        controller_addr: str,
+        worker_addr: str,
+        worker_id: str,
+        no_register: bool,
+        model_path: str,
+        model_base: str,
+        model_name: str,
+        limit_model_concurrency: int = 5,
+    ):
+        from ..mm_utils import get_model_name_from_path
+        from ..models.builder import load_pretrained_model
+
+        self.controller_addr = controller_addr
+        self.worker_addr = worker_addr
+        self.worker_id = worker_id
+        self.model_name = model_name or get_model_name_from_path(model_path)
+        self.limit_model_concurrency = limit_model_concurrency
+        logger.info(f"Loading the model {self.model_name} on worker {worker_id} ...")
+        (
+            self.tokenizer,
+            self.runtime,
+            self.image_processor,
+            self.context_len,
+        ) = load_pretrained_model(model_path, model_base, self.model_name)
+        self.semaphore = None
+        self.global_counter = 0
+
+        if not no_register:
+            self.register_to_controller()
+            self.heart_beat_thread = threading.Thread(
+                target=heart_beat_worker, args=(self,), daemon=True
+            )
+            self.heart_beat_thread.start()
+
+    def register_to_controller(self):
+        import requests
+
+        logger.info("Register to controller")
+        url = self.controller_addr + "/register_worker"
+        data = {
+            "worker_name": self.worker_addr,
+            "check_heart_beat": True,
+            "worker_status": self.get_status(),
+        }
+        r = requests.post(url, json=data)
+        assert r.status_code == 200
+
+    def send_heart_beat(self):
+        import requests
+
+        logger.info(
+            f"Send heart beat. Models: {[self.model_name]}. "
+            f"Semaphore: {pretty_print_semaphore(self.semaphore)}. "
+            f"global_counter: {self.global_counter}"
+        )
+        url = self.controller_addr + "/receive_heart_beat"
+        while True:
+            try:
+                ret = requests.post(
+                    url,
+                    json={
+                        "worker_name": self.worker_addr,
+                        "queue_length": self.get_queue_length(),
+                    },
+                    timeout=5,
+                )
+                exist = ret.json()["exist"]
+                break
+            except requests.exceptions.RequestException as e:
+                logger.error(f"heart beat error: {e}")
+            time.sleep(5)
+        if not exist:
+            self.register_to_controller()
+
+    def get_queue_length(self) -> int:
+        if self.semaphore is None:
+            return 0
+        waiters = self.semaphore._waiters
+        return (
+            self.limit_model_concurrency
+            - self.semaphore._value
+            + (len(waiters) if waiters is not None else 0)
+        )
+
+    def get_status(self) -> dict:
+        return {
+            "model_names": [self.model_name],
+            "speed": 1,
+            "queue_length": self.get_queue_length(),
+        }
+
+    def generate_stream(self, params: dict):
+        from PIL import Image
+
+        from ..generation.generate import GenerationConfig, Generator
+        from ..mm_utils import (
+            KeywordsStoppingCriteria,
+            process_images,
+            tokenizer_image_token,
+        )
+
+        tokenizer, runtime = self.tokenizer, self.runtime
+        prompt = params["prompt"]
+        images = params.get("images", None)
+        pixels = None
+        if images is not None and len(images) > 0:
+            pil_images = [
+                Image.open(BytesIO(base64.b64decode(im))).convert("RGB")
+                for im in images
+            ]
+            pixels = process_images(pil_images, self.image_processor, runtime.cfg)
+
+        temperature = float(params.get("temperature", 1.0))
+        top_p = float(params.get("top_p", 1.0))
+        max_new_tokens = min(int(params.get("max_new_tokens", 256)), 1024)
+        stop_str = params.get("stop", None)
+
+        input_ids = np.asarray(tokenizer_image_token(prompt, tokenizer), np.int64)
+        stopping = (
+            KeywordsStoppingCriteria([stop_str], tokenizer, len(input_ids))
+            if stop_str
+            else None
+        )
+
+        gen = Generator(
+            runtime.params,
+            runtime.cfg,
+            GenerationConfig(
+                max_new_tokens=max_new_tokens,
+                temperature=temperature,
+                top_p=top_p,
+                eos_token_id=tokenizer.eos_token_id,
+            ),
+        )
+
+        # incremental decode: stream partial text every few tokens
+        generated: list = []
+        from ..multimodal.fusion import plan_batch
+
+        import jax.numpy as jnp
+
+        plan = plan_batch(
+            [input_ids],
+            runtime.cfg.num_image_tokens if pixels is not None else 0,
+            max_length=runtime.cfg.model_max_length,
+        )
+        state, _ = gen.prefill_from_plan(plan, pixels, max_new_tokens)
+        for step in range(max_new_tokens):
+            tok = int(np.argmax(np.asarray(state.last_logits[0])))
+            if temperature > 1e-4:
+                import jax
+
+                logits = jnp.asarray(state.last_logits) / temperature
+                tok = int(
+                    jax.random.categorical(
+                        jax.random.key(self.global_counter + step), logits
+                    )[0]
+                )
+            if tok == tokenizer.eos_token_id:
+                break
+            generated.append(tok)
+            text = tokenizer.decode(generated, skip_special_tokens=True)
+            if stop_str and text.endswith(stop_str):
+                text = text[: -len(stop_str)]
+                yield json.dumps({"text": prompt + text, "error_code": 0}).encode() + b"\0"
+                break
+            if step % 4 == 0 or step == max_new_tokens - 1:
+                yield json.dumps({"text": prompt + text, "error_code": 0}).encode() + b"\0"
+            if stopping is not None and stopping(list(input_ids) + generated):
+                break
+            state = gen._decode(gen.params, gen.cfg, jnp.asarray([tok]), state)
+        text = tokenizer.decode(generated, skip_special_tokens=True)
+        yield json.dumps({"text": prompt + text, "error_code": 0}).encode() + b"\0"
+
+    def generate_stream_gate(self, params: dict):
+        try:
+            yield from self.generate_stream(params)
+        except ValueError as e:
+            logger.error(f"Caught ValueError: {e}")
+            yield json.dumps({"text": server_error_msg, "error_code": 1}).encode() + b"\0"
+        except Exception as e:
+            logger.error(f"Caught Unknown Error: {e}")
+            yield json.dumps({"text": server_error_msg, "error_code": 1}).encode() + b"\0"
+
+
+def build_app(worker: ModelWorker):
+    from fastapi import BackgroundTasks, FastAPI, Request
+    from fastapi.responses import StreamingResponse
+
+    app = FastAPI()
+
+    def release_model_semaphore(fn=None):
+        worker.semaphore.release()
+        if fn is not None:
+            fn()
+
+    @app.post("/worker_generate_stream")
+    async def generate_stream(request: Request):
+        worker.global_counter += 1
+        params = await request.json()
+        if worker.semaphore is None:
+            worker.semaphore = asyncio.Semaphore(worker.limit_model_concurrency)
+        await worker.semaphore.acquire()
+        worker.send_heart_beat()
+        generator = worker.generate_stream_gate(params)
+        background_tasks = BackgroundTasks()
+        background_tasks.add_task(
+            partial(release_model_semaphore, fn=worker.send_heart_beat)
+        )
+        return StreamingResponse(generator, background=background_tasks)
+
+    @app.post("/worker_get_status")
+    async def get_status(request: Request):
+        return worker.get_status()
+
+    return app
+
+
+def main(argv=None):
+    import uvicorn
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--host", type=str, default="localhost")
+    parser.add_argument("--port", type=int, default=40000)
+    parser.add_argument("--worker-address", type=str, default="http://localhost:40000")
+    parser.add_argument("--controller-address", type=str, default="http://localhost:10000")
+    parser.add_argument("--model-path", type=str, required=True)
+    parser.add_argument("--model-base", type=str, default=None)
+    parser.add_argument("--model-name", type=str, default=None)
+    parser.add_argument("--limit-model-concurrency", type=int, default=5)
+    parser.add_argument("--no-register", action="store_true")
+    args = parser.parse_args(argv)
+
+    worker = ModelWorker(
+        args.controller_address,
+        args.worker_address,
+        worker_id,
+        args.no_register,
+        args.model_path,
+        args.model_base,
+        args.model_name,
+        args.limit_model_concurrency,
+    )
+    uvicorn.run(build_app(worker), host=args.host, port=args.port, log_level="info")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Logging and misc utilities (reference /root/reference/llava/utils.py:22-135)."""
+
+from __future__ import annotations
+
+import logging
+import logging.handlers
+import os
+import sys
+
+from .constants import LOGDIR
+
+server_error_msg = (
+    "**NETWORK ERROR DUE TO HIGH TRAFFIC. PLEASE REGENERATE OR REFRESH THIS PAGE.**"
+)
+moderation_msg = (
+    "YOUR INPUT VIOLATES OUR CONTENT MODERATION GUIDELINES. PLEASE TRY AGAIN."
+)
+
+handler = None
+
+
+def build_logger(logger_name: str, logger_filename: str) -> logging.Logger:
+    """Console + rotating-file logger shared across serving processes."""
+    global handler
+
+    formatter = logging.Formatter(
+        fmt="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
+        datefmt="%Y-%m-%d %H:%M:%S",
+    )
+
+    root = logging.getLogger()
+    if not root.handlers:
+        logging.basicConfig(level=logging.INFO)
+    for h in root.handlers:
+        h.setFormatter(formatter)
+
+    logger = logging.getLogger(logger_name)
+    logger.setLevel(logging.INFO)
+
+    if handler is None:
+        os.makedirs(LOGDIR, exist_ok=True)
+        filename = os.path.join(LOGDIR, logger_filename)
+        handler = logging.handlers.TimedRotatingFileHandler(
+            filename, when="D", utc=True, encoding="utf-8"
+        )
+        handler.setFormatter(formatter)
+        for name, item in logging.root.manager.loggerDict.items():
+            if isinstance(item, logging.Logger):
+                item.addHandler(handler)
+    logger.addHandler(handler)
+    return logger
+
+
+def pretty_print_semaphore(semaphore) -> str:
+    if semaphore is None:
+        return "None"
+    return (
+        f"Semaphore(value={semaphore._value}, locked={semaphore.locked()})"
+    )
+
+
+def violates_moderation(text: str) -> bool:
+    """OpenAI moderation hook — disabled in the zero-egress TPU build; the
+    reference calls the moderation API (utils.py:105-126)."""
+    return False
