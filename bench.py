@@ -4,11 +4,23 @@ Measures sparse (vision keep 0.2 + output-text keep 0.5) vs dense decode
 throughput and prefill TTFT on the same random-initialized weights, on
 whatever accelerator JAX sees (real TPU under the driver).
 
+Two configurations by default:
+  * ``7b``      — LLaVA-1.5-7B, batch 1 (flagship latency; decode is weight-
+                  bandwidth-bound on one chip, so the sparse/dense ratio is
+                  small by physics — ~82% of the HBM roofline either way).
+  * ``serving`` — 1B proxy (~ one v5e-8 shard of the sharded 7B), batch 32,
+                  512-token generations: the KV-bandwidth-dominated regime
+                  the method targets. The sparse tier is capacity-bounded at
+                  keep_rate x max_new, so the ratio reflects real pruning.
+
+The primary value/vs_baseline is the serving ratio (the north-star metric);
+the 7B numbers ride in ``detail``. Every arm runs in its own subprocess
+(7B leaves <2.3 GB HBM headroom; allocator state must not accumulate).
+
 Env knobs:
-  BENCH_MODEL   = 7b | 1b | small   (default: auto — 7b on TPU, small on CPU)
-  BENCH_BATCH   = int (default 1)
-  BENCH_TOKENS  = decode steps to time (default 64)
-  BENCH_TEXT    = prompt text length (default 64)
+  BENCH_MODE    = full | 7b | serving   (default full)
+  BENCH_MODEL   = 7b | 1b | small (single-config override)
+  BENCH_BATCH / BENCH_TOKENS / BENCH_TEXT = ints
 """
 
 import dataclasses
@@ -59,11 +71,22 @@ def _cfg(name: str):
     )
 
 
+CONFIGS = {
+    "7b": dict(model="7b", batch=1, new_tokens=64, text_len=64),
+    "serving": dict(model="1b", batch=32, new_tokens=512, text_len=64),
+}
+
+
 def main():
+    mode = os.environ.get("BENCH_MODE", "full")
     model = os.environ.get("BENCH_MODEL", "7b")
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     new_tokens = int(os.environ.get("BENCH_TOKENS", "64"))
     text_len = int(os.environ.get("BENCH_TEXT", "64"))
+
+    if not os.environ.get("BENCH_ONLY") and mode == "full":
+        run_full()
+        return
 
     cfg = _cfg(model)
     platform = "unknown"
@@ -122,6 +145,51 @@ def main():
         },
     }
     print(json.dumps(result))
+
+
+def run_full():
+    import subprocess
+    import sys
+
+    def run_arm(config_name, which):
+        c = CONFIGS[config_name]
+        env = dict(
+            os.environ, BENCH_ONLY=which, BENCH_MODE="single",
+            BENCH_MODEL=c["model"], BENCH_BATCH=str(c["batch"]),
+            BENCH_TOKENS=str(c["new_tokens"]), BENCH_TEXT=str(c["text_len"]),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3000,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("BENCH_RESULT "):
+                return json.loads(line[len("BENCH_RESULT "):])
+        raise RuntimeError(
+            f"bench {config_name}/{which} failed:\n"
+            f"{out.stdout[-1500:]}\n{out.stderr[-1500:]}"
+        )
+
+    detail = {}
+    for name in ("serving", "7b"):
+        sparse = run_arm(name, "sparse")
+        dense = run_arm(name, "dense")
+        detail[name] = {
+            "config": CONFIGS[name],
+            "sparse": sparse,
+            "dense": dense,
+            "decode_speedup": round(sparse["decode_tok_s"] / dense["decode_tok_s"], 4),
+            "ttft_speedup": round(dense["ttft_ms"] / sparse["ttft_ms"], 4),
+        }
+
+    serving = detail["serving"]
+    print(json.dumps({
+        "metric": "serving_decode_tok_s_sparse_1b_proxy_b32",
+        "value": round(serving["sparse"]["decode_tok_s"], 2),
+        "unit": "tok/s",
+        "vs_baseline": serving["decode_speedup"],
+        "detail": detail,
+    }))
 
 
 if __name__ == "__main__":

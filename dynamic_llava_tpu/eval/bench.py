@@ -91,21 +91,28 @@ def bench_config(
         )
 
     prefill_jit = jax.jit(prefill_fn, donate_argnums=(1,))
+    # ONE cache allocation for the whole benchmark: every call donates the
+    # buffers back in (prefill rewrites slot 0 and resets lengths), so the
+    # 7B run never fragments the <2.3 GB of HBM left next to the weights
     state = jax.block_until_ready(prefill_jit(params, fresh_cache(), *args, imgs))
 
     times = []
-    for _ in range(prefill_reps):
-        cache = jax.block_until_ready(fresh_cache())
+    tok0 = args[0]
+    for rep in range(prefill_reps):
+        # vary an input token and read a logit back to the host: defeats any
+        # result caching and guarantees the timing spans execution
+        rep_args = (tok0.at[:, 0].set(3 + rep),) + args[1:]
         t0 = time.perf_counter()
-        state = jax.block_until_ready(prefill_jit(params, cache, *args, imgs))
+        state = prefill_jit(params, state.cache, *rep_args, imgs)
+        _ = float(state.last_logits[0, 0])
         times.append(time.perf_counter() - t0)
     ttft_ms = float(np.median(times) * 1e3)
 
     decode_many = make_decode_many(cfg, new_tokens)
     state2, _ = jax.block_until_ready(decode_many(params, state))  # compile+run
     post_len = float(np.mean(np.asarray(state2.cache.post.length)))
-    # re-prefill (decode donated the state) and time steady-state decode
-    state = jax.block_until_ready(prefill_jit(params, fresh_cache(), *args, imgs))
+    # re-prefill (recycling the decoded state's buffers) and time decode
+    state = jax.block_until_ready(prefill_jit(params, state2.cache, *args, imgs))
     t0 = time.perf_counter()
     state2, toks = jax.block_until_ready(decode_many(params, state))
     dt = time.perf_counter() - t0

@@ -226,6 +226,132 @@ def prefill(
     return state, info
 
 
+def prefill_continue(
+    params,
+    cfg: LlavaConfig,
+    token_ids: jax.Array,  # [B, M] new round's tokens (all valid)
+    state: GenState,
+) -> GenState:
+    """Multi-round continuation (E5, reference :2506-2521): process a new
+    instruct chunk against the live cache in one pass. With the instruct
+    predictor on, chunk tokens are threshold-pruned before persisting into
+    the sparse tier — the final token is always kept."""
+    tcfg, sparse = cfg.text, cfg.sparse
+    b, m = token_ids.shape
+    sl = sparse.sparse_layer
+
+    x = llama.embed_tokens(params["llm"], token_ids)
+    positions = state.next_pos[:, None] + jnp.arange(m, dtype=jnp.int32)[None, :]
+
+    d1 = llama.run_layers_extend(
+        params["llm"], tcfg, x, positions, state.cache.pre, lo=0, hi=sl
+    )
+    x = d1.x
+    cache_pre = d1.cache._replace(length=d1.cache.length + m)
+
+    keep = None
+    kept = jnp.full((b,), m, jnp.int32)
+    if sparse.use_instruct_predictor:
+        tp = text_predictor(params["predictors"]["instruct_score_predictor"], x)
+        keep = tp[..., 0] > tp[..., 1]
+        keep = keep.at[:, -1].set(True)  # last token forced keep
+        kept = jnp.sum(keep, axis=1).astype(jnp.int32)
+
+    d2 = llama.run_layers_extend(
+        params["llm"], tcfg, x, positions, state.cache.post,
+        lo=sl, hi=tcfg.num_hidden_layers, keep=keep,
+    )
+    x = d2.x
+    cache_post = d2.cache._replace(length=d2.cache.length + kept[None, :])
+
+    logits = llama.lm_head(params["llm"], tcfg, x[:, -1:])[:, 0]
+    return GenState(
+        cache=TieredCache(pre=cache_pre, post=cache_post),
+        next_pos=state.next_pos + m,
+        last_logits=logits,
+    )
+
+
+def forward_nocache_eval(
+    params,
+    cfg: LlavaConfig,
+    plan_token_ids: jax.Array,
+    plan_is_image: jax.Array,
+    plan_image_slot: jax.Array,
+    valid_len: jax.Array,
+    image_start: jax.Array,
+    answer_start: jax.Array,
+    last_instruct_start: jax.Array,
+    last_instruct_end: jax.Array,
+    has_image: jax.Array,
+    pixel_values: Optional[jax.Array],
+) -> Tuple[jax.Array, jax.Array]:
+    """E4: cache-free hard-pruned forward (reference :2393-2504, the
+    quadratic-recompute regime driven by the no-cache bench). Image tokens
+    are top-k pruned, and — unlike ``prefill`` — the generated answer span
+    [answer_start, valid_len-1) is re-pruned from scratch by the output-text
+    predictor's threshold each call; the final token is always kept.
+
+    Returns (last-token logits [B, V], kept lengths [B]).
+    """
+    tcfg, sparse = cfg.text, cfg.sparse
+    b, s = plan_token_ids.shape
+    n_img = cfg.num_image_tokens
+    sl = sparse.sparse_layer
+
+    x = llama.embed_tokens(params["llm"], plan_token_ids)
+    if pixel_values is not None:
+        img_feats = encode_images(params, cfg, pixel_values)
+        x = fuse_embeddings(x, img_feats, plan_is_image, plan_image_slot)
+    positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+
+    x = llama.run_layers_nocache(params["llm"], tcfg, x, positions, lo=0, hi=sl)
+
+    valid = positions < valid_len[:, None]
+    keep = valid
+    if sparse.use_vision_predictor and pixel_values is not None:
+        img_hidden = _gather_span(x, image_start, n_img)
+        logits = vision_predictor(
+            params["predictors"]["image_score_predictor"], img_hidden, sparse
+        )
+        scores_img = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)[..., 0]
+        scores = jnp.zeros((b, s), jnp.float32)
+        bi = jnp.arange(b, dtype=jnp.int32)[:, None]
+        si = image_start[:, None] + jnp.arange(n_img, dtype=jnp.int32)[None, :]
+        scores = scores.at[bi, si].set(scores_img)
+        img_keep = topk_keep_mask(
+            scores, sparse.vision_keep_budget(n_img), plan_is_image & valid
+        )
+        keep = jnp.where(has_image[:, None] & plan_is_image, img_keep, keep)
+
+    if sparse.use_output_text_predictor:
+        tp = text_predictor(params["predictors"]["output_text_score_predictor"], x)
+        txt_keep = tp[..., 0] > tp[..., 1]
+        ans_span = _span_mask(s, answer_start, valid_len - 1)  # last token exempt
+        keep = jnp.where(ans_span, keep & txt_keep, keep)
+
+    if sparse.use_instruct_predictor:
+        tp = text_predictor(params["predictors"]["instruct_score_predictor"], x)
+        ins_keep = tp[..., 0] > tp[..., 1]
+        ins_span = _span_mask(s, last_instruct_start, last_instruct_end)
+        is_last = (
+            jnp.arange(s, dtype=jnp.int32)[None, :]
+            == (last_instruct_end - 1)[:, None]
+        )
+        keep = jnp.where(ins_span & ~is_last, keep & ins_keep, keep)
+
+    comp = plan_compaction(keep)
+    x = gather_tokens(x, comp.gather_idx)
+    new_positions = gather_tokens(positions, comp.gather_idx)
+
+    x = llama.run_layers_nocache(
+        params["llm"], tcfg, x, new_positions, lo=sl, hi=tcfg.num_hidden_layers
+    )
+    last_hidden = _gather_span(x, comp.new_length - 1, 1)
+    logits = llama.lm_head(params["llm"], tcfg, last_hidden)[:, 0]
+    return logits, comp.new_length
+
+
 # ---------------------------------------------------------------------------
 # Inference: decode
 # ---------------------------------------------------------------------------
@@ -258,6 +384,14 @@ def decode_step(
         keep = (tp[..., 0] > tp[..., 1]).astype(jnp.int32)
     else:
         keep = jnp.ones((b,), jnp.int32)
+
+    # capacity bound: the post tier reserves its last slot as scratch for the
+    # in-flight token; once the budget fills, further tokens are force-
+    # dropped (they still attend this step from the scratch slot). This is
+    # what lets the tier be ALLOCATED at keep_rate x max_new instead of
+    # worst-case max_new.
+    post_budget = state.cache.post.max_len - 1
+    keep = keep * (state.cache.post.length[0] < post_budget).astype(jnp.int32)
 
     d2 = llama.run_layers_decode(
         params["llm"], tcfg, x, pos, state.cache.post,
@@ -402,18 +536,29 @@ def forward_train(
 
 
 def gen_cache_sizes(cfg: LlavaConfig, prompt_len: int, max_new_tokens: int,
-                    margin: int = 8) -> Tuple[int, int]:
+                    margin: int = 8,
+                    bound_output_budget: bool = True) -> Tuple[int, int]:
     """Static cache capacities: the pre tier holds everything; the post tier
     is sized by the pruned prefill budget + decode headroom. This is where
     the image-token pruning (576 -> ~115) turns into a smaller buffer — and
-    therefore less attention bandwidth — for all layers >= sparse_layer."""
+    therefore less attention bandwidth — for all layers >= sparse_layer.
+
+    With ``bound_output_budget`` the decode headroom is
+    ``keep_rate * max_new + margin`` (+1 scratch slot): the statistically
+    expected KV footprint of the output-text sparsifier, enforced exactly by
+    the forced-drop-when-full rule in ``decode_step``."""
     pre = prompt_len + max_new_tokens + margin
     sparse = cfg.sparse
     post_prefill = prompt_len
     if sparse.use_vision_predictor:
         n_img = cfg.num_image_tokens
         post_prefill = prompt_len - n_img + sparse.vision_keep_budget(n_img)
-    post = post_prefill + max_new_tokens + margin
+    decode_headroom = max_new_tokens
+    if bound_output_budget and sparse.use_output_text_predictor:
+        decode_headroom = int(
+            max_new_tokens * sparse.output_text_keep_rate
+        ) + margin
+    post = post_prefill + decode_headroom + margin + 1
     return pre, post
 
 

@@ -38,6 +38,7 @@ from ..ops.attention import (
 from ..ops.kv_cache import KVCache, write_token
 from ..ops.norm import rms_norm
 from ..ops.rope import apply_rope_for_config
+from ..train.lora import lora_proj
 
 
 # ---------------------------------------------------------------------------
@@ -90,7 +91,9 @@ def index_layer(layers, i):
     unlike ``slice_layers``, which materializes a copy of the sub-range
     (for a 7B model that copy is ~12 GB and OOMs a single chip)."""
     return jax.tree.map(
-        lambda a: jax.lax.dynamic_index_in_dim(a, i, axis=0, keepdims=False),
+        # 0-d leaves (e.g. the LoRA alpha/rank scale) are layer-invariant
+        lambda a: a if jnp.ndim(a) == 0
+        else jax.lax.dynamic_index_in_dim(a, i, axis=0, keepdims=False),
         layers,
     )
 
@@ -112,16 +115,18 @@ def lm_head(params, cfg: LlamaConfig, x: jax.Array) -> jax.Array:
 
 def _qkv(lp, cfg: LlamaConfig, h: jax.Array, positions: jax.Array):
     b, s, _ = h.shape
-    q = (h @ lp["q"]).reshape(b, s, cfg.num_attention_heads, cfg.head_dim)
-    k = (h @ lp["k"]).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
-    v = (h @ lp["v"]).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
+    q = lora_proj(lp, "q", h).reshape(b, s, cfg.num_attention_heads, cfg.head_dim)
+    k = lora_proj(lp, "k", h).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
+    v = lora_proj(lp, "v", h).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
     q = apply_rope_for_config(q, positions, cfg)
     k = apply_rope_for_config(k, positions, cfg)
     return q, k, v
 
 
 def _mlp(lp, h: jax.Array) -> jax.Array:
-    return (jax.nn.silu(h @ lp["gate"]) * (h @ lp["up"])) @ lp["down"]
+    return lora_proj(
+        lp, "down", jax.nn.silu(lora_proj(lp, "gate", h)) * lora_proj(lp, "up", h)
+    )
 
 
 def layer_nocache(
@@ -142,7 +147,7 @@ def layer_nocache(
             o = attend(q, k, v, mask=mask)
     else:
         o = self_attend(q, k, v, policy=policy)
-    x = x + o.reshape(b, s, -1) @ lp["o"]
+    x = x + lora_proj(lp, "o", o.reshape(b, s, -1))
     h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
     return x + _mlp(lp, h)
 
@@ -226,7 +231,7 @@ def run_layers_prefill(
             cv, v[None].astype(cv.dtype), (li, 0, 0, 0, 0)
         )
         o = self_attend(q, k, v)
-        x = x + o.reshape(b, s, -1) @ lp["o"]
+        x = x + lora_proj(lp, "o", o.reshape(b, s, -1))
         hh = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
         x = x + _mlp(lp, hh)
         return (x, ck, cv), None
@@ -279,7 +284,82 @@ def run_layers_decode(
         ck = jax.lax.dynamic_update_slice(ck, ck_l[None], (li, 0, 0, 0, 0))
         cv = jax.lax.dynamic_update_slice(cv, cv_l[None], (li, 0, 0, 0, 0))
         o = decode_attend(q, ck_l.astype(q.dtype), cv_l.astype(q.dtype), length_l)
-        x = x + o.reshape(b, 1, -1) @ lp["o"]
+        x = x + lora_proj(lp, "o", o.reshape(b, 1, -1))
+        hh = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
+        x = x + _mlp(lp, hh)
+        return (x, ck, cv), None
+
+    (x, ck, cv), _ = jax.lax.scan(body, (x, cache.k, cache.v), layer_ids)
+    return DecodeResult(x=x, cache=KVCache(k=ck, v=cv, length=cache.length))
+
+
+def run_layers_extend(
+    params,
+    cfg: LlamaConfig,
+    x: jax.Array,  # [B, M, D] new chunk (fully valid)
+    positions: jax.Array,  # [B, M] original positions of the chunk tokens
+    cache: KVCache,  # covers [lo, hi); all layers share one length (tier invariant)
+    *,
+    lo: int = 0,
+    hi: Optional[int] = None,
+    keep: Optional[jax.Array] = None,  # [B, M] bool — persist decision per token
+) -> DecodeResult:
+    """Continuation ("chunked") prefill: extend an existing cache with M new
+    tokens in one pass — the multi-round regime the reference handles
+    token-by-token or with B==1 asserts (E5, dynamic_modeling_llama.py:2506-2521).
+
+    Every chunk token attends over the persisted cache plus the whole chunk
+    (causal within the chunk); only ``keep``-marked tokens are scattered into
+    the cache, compacted to slots [len, len+n_kept). Dropped tokens land in
+    the reserved scratch slot (max_len-1), which sits beyond the valid
+    region and is never persisted. Lengths are advanced by the caller.
+    """
+    hi = cfg.num_hidden_layers if hi is None else hi
+    assert cache.num_layers == hi - lo
+    layers = params["layers"]
+    b, m, _ = x.shape
+    max_len = cache.max_len
+    length0 = cache.length[0]  # [B] shared across the tier
+    if keep is None:
+        keep_i = jnp.ones((b, m), jnp.int32)
+    else:
+        keep_i = keep.astype(jnp.int32)
+    # compacted target slot per chunk token; dropped -> scratch slot
+    offsets = jnp.cumsum(keep_i, axis=1) - 1
+    target = jnp.where(
+        keep_i > 0, length0[:, None] + offsets, max_len - 1
+    ).astype(jnp.int32)
+    batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
+
+    # mask: [B, 1, M, max_len + M] — cache cols by length, chunk cols causal
+    cache_cols = jnp.arange(max_len, dtype=jnp.int32)
+    cache_mask = cache_cols[None, :] < length0[:, None]  # [B, max_len]
+    rows = jnp.arange(m, dtype=jnp.int32)
+    chunk_mask = rows[None, :, None] >= rows[None, None, :]  # [1, M, M]
+    mask = jnp.concatenate(
+        [
+            jnp.broadcast_to(cache_mask[:, None, None, :], (b, 1, m, max_len)),
+            jnp.broadcast_to(chunk_mask[:, None], (b, 1, m, m)),
+        ],
+        axis=-1,
+    )
+    layer_ids = jnp.arange(hi - lo, dtype=jnp.int32)
+
+    def body(carry, li):
+        x, ck, cv = carry
+        lp = index_layer(layers, li + lo)
+        h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
+        q, k, v = _qkv(lp, cfg, h, positions)
+        ck_l = jax.lax.dynamic_index_in_dim(ck, li, axis=0, keepdims=False)
+        cv_l = jax.lax.dynamic_index_in_dim(cv, li, axis=0, keepdims=False)
+        k_cat = jnp.concatenate([ck_l.astype(q.dtype), k], axis=1)
+        v_cat = jnp.concatenate([cv_l.astype(q.dtype), v], axis=1)
+        o = attend(q, k_cat, v_cat, mask=mask)
+        ck_l = ck_l.at[batch_idx, target].set(k.astype(ck_l.dtype))
+        cv_l = cv_l.at[batch_idx, target].set(v.astype(cv_l.dtype))
+        ck = jax.lax.dynamic_update_slice(ck, ck_l[None], (li, 0, 0, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, cv_l[None], (li, 0, 0, 0, 0))
+        x = x + lora_proj(lp, "o", o.reshape(b, m, -1))
         hh = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
         x = x + _mlp(lp, hh)
         return (x, ck, cv), None

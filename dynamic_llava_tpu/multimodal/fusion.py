@@ -83,39 +83,61 @@ def _find_subsequence_last(hay: np.ndarray, needle: Sequence[int]) -> int:
 
 
 def plan_sample(
-    input_ids: np.ndarray,  # [L] int, may contain one IMAGE_TOKEN_INDEX
+    input_ids: np.ndarray,  # [L] int, may contain IMAGE_TOKEN_INDEX sentinels
     num_image_tokens: int,
     labels: Optional[np.ndarray] = None,  # [L] int
     max_length: Optional[int] = None,
     user_tokens: Sequence[int] = VICUNA_USER_TOKENS,
+    tokens_per_image: Optional[Sequence[int]] = None,  # per-sentinel counts (anyres)
 ):
     """Fused layout for one sample. Returns (token_ids, is_image, image_slot,
-    labels, span dict) as 1-D numpy arrays of the fused length."""
+    labels, span dict) as 1-D numpy arrays of the fused length.
+
+    Multiple sentinels are supported (reference multi-image handling,
+    dynamic_llava_arch.py:372-388): each expands to its own span; the image
+    feature axis is the per-sample concatenation of all images' tokens. The
+    recorded ``image_start/end`` span (used by the vision predictor) covers
+    the FIRST image — the sparsification recipe is single-image, matching
+    the reference training data.
+    """
     input_ids = np.asarray(input_ids, np.int32)
     if labels is None:
         labels = np.full_like(input_ids, IGNORE_INDEX)
     labels = np.asarray(labels, np.int32)
 
     img_pos = np.nonzero(input_ids == IMAGE_TOKEN_INDEX)[0]
-    if len(img_pos) > 1:
-        raise NotImplementedError(
-            "multi-image samples not yet supported by the fused planner"
-        )
-    if len(img_pos) == 1:
-        p = int(img_pos[0])
-        fused_len = len(input_ids) - 1 + num_image_tokens
+    n_images = len(img_pos)
+    if tokens_per_image is None:
+        tokens_per_image = [num_image_tokens] * n_images
+    assert len(tokens_per_image) == n_images
+
+    if n_images:
+        fused_len = len(input_ids) - n_images + int(sum(tokens_per_image))
         token_ids = np.zeros(fused_len, np.int32)
         is_image = np.zeros(fused_len, bool)
+        image_slot = np.zeros(fused_len, np.int32)
         new_labels = np.full(fused_len, IGNORE_INDEX, np.int32)
-        token_ids[:p] = input_ids[:p]
-        new_labels[:p] = labels[:p]
-        is_image[p : p + num_image_tokens] = True
-        token_ids[p + num_image_tokens :] = input_ids[p + 1 :]
-        new_labels[p + num_image_tokens :] = labels[p + 1 :]
-        image_start, image_end = p, p + num_image_tokens
+        src = dst = slot = 0
+        image_start = image_end = None
+        for p, n_tok in zip(img_pos, tokens_per_image):
+            seg = int(p) - src
+            token_ids[dst : dst + seg] = input_ids[src : src + seg]
+            new_labels[dst : dst + seg] = labels[src : src + seg]
+            dst += seg
+            src += seg + 1  # skip the sentinel
+            is_image[dst : dst + n_tok] = True
+            image_slot[dst : dst + n_tok] = slot + np.arange(n_tok)
+            if image_start is None:
+                image_start, image_end = dst, dst + n_tok
+            slot += n_tok
+            dst += n_tok
+        tail = len(input_ids) - src
+        token_ids[dst : dst + tail] = input_ids[src:]
+        new_labels[dst : dst + tail] = labels[src:]
     else:
         token_ids = input_ids.copy()
         is_image = np.zeros(len(input_ids), bool)
+        image_slot = np.zeros(len(input_ids), np.int32)
         new_labels = labels.copy()
         image_start = image_end = 0
         fused_len = len(input_ids)
@@ -123,13 +145,11 @@ def plan_sample(
     if max_length is not None and fused_len > max_length:
         token_ids = token_ids[:max_length]
         is_image = is_image[:max_length]
+        image_slot = image_slot[:max_length]
         new_labels = new_labels[:max_length]
         fused_len = max_length
         image_start = min(image_start, max_length)
         image_end = min(image_end, max_length)
-
-    image_slot = np.zeros(fused_len, np.int32)
-    image_slot[image_start:image_end] = np.arange(image_end - image_start)
 
     # answer span: after the last ignored label (reference :334). For
     # inference (labels all ignored) the span is empty and decode-time
@@ -171,15 +191,21 @@ def plan_batch(
     max_length: Optional[int] = None,
     pad_to: Optional[int] = None,
     user_tokens: Sequence[int] = VICUNA_USER_TOKENS,
+    tokens_per_image_list: Optional[List[Sequence[int]]] = None,
 ) -> FusionPlan:
     """Right-padded batch plan (reference pads right for training and
     computes per-sample index shifts; our plan is already per-slot so no
-    shifting is needed)."""
+    shifting is needed). ``tokens_per_image_list`` supplies variable
+    per-image token counts (anyres tiling)."""
     if labels_list is None:
         labels_list = [None] * len(input_ids_list)
+    if tokens_per_image_list is None:
+        tokens_per_image_list = [None] * len(input_ids_list)
     rows = [
-        plan_sample(ids, num_image_tokens, lab, max_length, user_tokens)
-        for ids, lab in zip(input_ids_list, labels_list)
+        plan_sample(ids, num_image_tokens, lab, max_length, user_tokens, tpi)
+        for ids, lab, tpi in zip(
+            input_ids_list, labels_list, tokens_per_image_list
+        )
     ]
     b = len(rows)
     lens = [len(r[0]) for r in rows]

@@ -99,8 +99,17 @@ def _replicated_like(tree):
 def llava_param_specs(cfg: LlavaConfig, params) -> dict:
     """Specs for the full bundle. Predictors and projector are tiny —
     replicate them (sharding a 512-wide MLP wastes collectives)."""
+    llm_specs = llama_param_specs(cfg.text)
+    for key in params["llm"]["layers"]:
+        if key.endswith("_lora"):
+            # adapters: A sharded on the input dim, B on the output dim
+            llm_specs["layers"][key] = {
+                "a": P(None, "fsdp", None),
+                "b": P(None, None, "tensor"),
+                "s": P(),
+            }
     specs = {
-        "llm": llama_param_specs(cfg.text),
+        "llm": llm_specs,
         "vision_tower": clip_param_specs(),
         "mm_projector": _replicated_like(params["mm_projector"]),
     }

@@ -304,6 +304,17 @@ class LazySupervisedDataset:
         path = os.path.join(self.data_args.image_folder, rel_path)
         image = Image.open(path).convert("RGB")
         if self.data_args.image_aspect_ratio == "pad":
+            # fast path: the native C++ fused pad+resize+normalize
+            from ..native import clip_preprocess_batch_native, native_available
+
+            if native_available():
+                return clip_preprocess_batch_native(
+                    [np.asarray(image, np.uint8)],
+                    self.image_processor.crop_size,
+                    self.image_processor.background_color,
+                    self.image_processor.image_mean,
+                    self.image_processor.image_std,
+                )[0]
             image = expand2square(image, self.image_processor.background_color)
         return self.image_processor(image)
 

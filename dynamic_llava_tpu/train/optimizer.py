@@ -28,15 +28,24 @@ def _is_no_decay(path) -> bool:
     )
 
 
-def label_params(params) -> Any:
-    """'frozen' (vision tower) | 'predictor[_nd]' | 'base[_nd]'."""
+def label_params(params, lora_mode: bool = False) -> Any:
+    """'frozen' (vision tower) | 'predictor[_nd]' | 'base[_nd]'.
+
+    In ``lora_mode`` only adapters (a/b), predictors, and the projector
+    train; everything else in the LLM is frozen (reference lora recipe,
+    train_sparse.py:1041-1072). Adapter scale leaves ('s') stay frozen."""
 
     def label(path, leaf):
         keys = "/".join(str(getattr(p, "key", p)) for p in path)
         if keys.startswith("vision_tower"):
             return "frozen"
-        group = "predictor" if keys.startswith("predictors") else "base"
-        return group + ("_nd" if _is_no_decay(path) else "")
+        if "_lora" in keys:
+            return "frozen" if keys.endswith("/s") else "base"
+        if keys.startswith("predictors"):
+            return "predictor" + ("_nd" if _is_no_decay(path) else "")
+        if lora_mode and keys.startswith("llm"):
+            return "frozen"
+        return "base" + ("_nd" if _is_no_decay(path) else "")
 
     return jax.tree_util.tree_map_with_path(label, params)
 
@@ -52,6 +61,7 @@ def make_optimizer(
     lr_schedule=None,
     predictor_lr_schedule=None,
     grad_clip: float = 1.0,
+    lora_mode: bool = False,
 ) -> optax.GradientTransformation:
     def adamw(lr, wd):
         tx = optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=wd)
@@ -66,7 +76,11 @@ def make_optimizer(
         "predictor_nd": adamw(predictor_lr_schedule or predictor_lr, 0.0),
         "frozen": optax.set_to_zero(),
     }
-    return optax.multi_transform(transforms, label_params)
+    import functools
+
+    return optax.multi_transform(
+        transforms, functools.partial(label_params, lora_mode=lora_mode)
+    )
 
 
 def cosine_with_warmup(

@@ -78,6 +78,10 @@ def parse_args(argv=None):
     p.add_argument("--predictor_num_layers", type=int, default=2)
     p.add_argument("--mask_loss_weight", type=float, default=100.0)
     p.add_argument("--tokenizer_path", type=str, default=None)
+    # lora (reference train_sparse.py lora_enable path)
+    p.add_argument("--lora_enable", action="store_true")
+    p.add_argument("--lora_r", type=int, default=128)
+    p.add_argument("--lora_alpha", type=float, default=256.0)
     return p.parse_args(argv)
 
 
@@ -153,6 +157,15 @@ def train(argv=None):
         raise SystemExit("need --model_path or --tokenizer_path for a tokenizer")
     tokenizer.model_max_length = args.model_max_length
 
+    if args.lora_enable:
+        from .lora import attach_lora, init_lora_params
+
+        adapters = init_lora_params(
+            jax.random.key(args.seed + 1), cfg.text,
+            rank=args.lora_r, alpha=args.lora_alpha, dtype=dtype,
+        )
+        params = attach_lora(params, adapters)
+
     data_args = DataArguments(
         data_path=args.data_path,
         image_folder=args.image_folder,
@@ -186,6 +199,7 @@ def train(argv=None):
         data_parallel=args.data_parallel,
         fsdp_parallel=args.fsdp_parallel,
         tensor_parallel=args.tensor_parallel,
+        lora_mode=args.lora_enable,
     )
     trainer = Trainer(cfg, params, tc, use_mesh=n_dev > 1)
     if trainer.maybe_resume():

@@ -43,6 +43,7 @@ class TrainerConfig:
     seed: int = 42
     gradient_checkpointing: bool = True
     report_to: str = "jsonl"  # "jsonl" | "none"
+    lora_mode: bool = False
     # mesh
     data_parallel: int = 1
     fsdp_parallel: int = -1
@@ -107,6 +108,7 @@ class Trainer:
             weight_decay=tc.weight_decay,
             lr_schedule=base_sched,
             predictor_lr_schedule=pred_sched,
+            lora_mode=tc.lora_mode,
         )
         self.params = params
         self.opt_state = self.optimizer.init(params)

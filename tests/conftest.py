@@ -16,3 +16,9 @@ import jax  # noqa: E402
 # tunnel) regardless of JAX_PLATFORMS; override it back to CPU for tests.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# CPU compiles of the scanned decoder dominate suite time; cache them on disk
+# so repeat runs (CI, driver) skip compilation.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

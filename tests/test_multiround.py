@@ -1,0 +1,146 @@
+"""Continuation prefill (E5) and no-cache eval (E4) regimes."""
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dynamic_llava_tpu.config import LlavaConfig, SparseConfig
+from dynamic_llava_tpu.models import dynamic, llama
+from dynamic_llava_tpu.multimodal.fusion import plan_batch
+from dynamic_llava_tpu.ops.kv_cache import init_tiered_cache
+
+
+def _cfg(**sparse_overrides):
+    sparse = SparseConfig(
+        d_model=32, nhead=2, dim_feedforward=64, num_layers=1,
+        use_vision_predictor=False, use_text_predictor=False,
+        use_output_text_predictor=False, use_instruct_predictor=False,
+    )
+    return LlavaConfig.tiny(sparse=dataclasses.replace(sparse, **sparse_overrides))
+
+
+def _prefill(params, cfg, plan, imgs, pre=64, post=64):
+    cache = init_tiered_cache(
+        cfg.text, cfg.sparse.sparse_layer, plan.batch, pre, post, jnp.float32
+    )
+    return dynamic.prefill(
+        params, cfg,
+        jnp.asarray(plan.token_ids), jnp.asarray(plan.is_image),
+        jnp.asarray(plan.image_slot), jnp.asarray(plan.valid_len),
+        jnp.asarray(plan.spans.image_start),
+        jnp.asarray(plan.spans.last_instruct_start),
+        jnp.asarray(plan.spans.last_instruct_end),
+        jnp.asarray(plan.spans.has_image),
+        None if imgs is None else jnp.asarray(imgs),
+        cache,
+    )
+
+
+def test_prefill_continue_matches_single_prefill():
+    """Dense path: prefill(A) + continue(B) must equal prefill(A+B)."""
+    cfg = _cfg()
+    params = dynamic.init_llava_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    a = rng.integers(3, cfg.text.vocab_size, size=(2, 9))
+    bchunk = rng.integers(3, cfg.text.vocab_size, size=(2, 5))
+
+    plan_a = plan_batch(list(a), 0)
+    state, _ = _prefill(params, cfg, plan_a, None)
+    state2 = dynamic.prefill_continue(params, cfg, jnp.asarray(bchunk), state)
+
+    plan_ab = plan_batch(list(np.concatenate([a, bchunk], axis=1)), 0)
+    ref, _ = _prefill(params, cfg, plan_ab, None)
+    np.testing.assert_allclose(
+        np.asarray(state2.last_logits), np.asarray(ref.last_logits),
+        atol=2e-4, rtol=2e-3,
+    )
+    assert (np.asarray(state2.cache.pre.length) == 14).all()
+    assert (np.asarray(state2.next_pos) == 14).all()
+
+    # decode after continuation matches decode after single prefill
+    tok = jnp.asarray([5, 6])
+    d1 = dynamic.decode_step(params, cfg, tok, state2)
+    d2 = dynamic.decode_step(params, cfg, tok, ref)
+    np.testing.assert_allclose(
+        np.asarray(d1.last_logits), np.asarray(d2.last_logits),
+        atol=2e-4, rtol=2e-3,
+    )
+
+
+def test_prefill_continue_instruct_pruning():
+    """With the instruct predictor, the post tier persists only kept chunk
+    tokens (last always kept); logits stay finite."""
+    cfg = _cfg(use_instruct_predictor=True)
+    params = dynamic.init_llava_params(jax.random.key(1), cfg)
+    rng = np.random.default_rng(1)
+    a = rng.integers(3, cfg.text.vocab_size, size=(1, 8))
+    plan_a = plan_batch(list(a), 0)
+    state, _ = _prefill(params, cfg, plan_a, None)
+    post_len0 = int(np.asarray(state.cache.post.length)[0, 0])
+
+    chunk = jnp.asarray(rng.integers(3, cfg.text.vocab_size, size=(1, 6)))
+    state2 = dynamic.prefill_continue(params, cfg, chunk, state)
+    pre_len = int(np.asarray(state2.cache.pre.length)[0, 0])
+    post_len = int(np.asarray(state2.cache.post.length)[0, 0])
+    assert pre_len == 8 + 6
+    assert post_len0 + 1 <= post_len <= post_len0 + 6
+    assert np.isfinite(np.asarray(state2.last_logits)).all()
+
+
+def test_forward_nocache_eval_dense_matches():
+    cfg = _cfg()
+    params = dynamic.init_llava_params(jax.random.key(2), cfg)
+    rng = np.random.default_rng(2)
+    ids = rng.integers(3, cfg.text.vocab_size, size=(2, 11))
+    plan = plan_batch(list(ids), 0)
+    logits, lengths = dynamic.forward_nocache_eval(
+        params, cfg,
+        jnp.asarray(plan.token_ids), jnp.asarray(plan.is_image),
+        jnp.asarray(plan.image_slot), jnp.asarray(plan.valid_len),
+        jnp.asarray(plan.spans.image_start),
+        jnp.asarray(plan.spans.answer_start),
+        jnp.asarray(plan.spans.last_instruct_start),
+        jnp.asarray(plan.spans.last_instruct_end),
+        jnp.asarray(plan.spans.has_image),
+        None,
+    )
+    ref = llama.forward_dense(params["llm"], cfg.text, jnp.asarray(ids))
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref[:, -1]), atol=2e-4, rtol=2e-3
+    )
+    assert (np.asarray(lengths) == 11).all()
+
+
+def test_forward_nocache_eval_sparse_prunes():
+    cfg = _cfg(use_vision_predictor=True, vision_keep_rate=0.25,
+               use_output_text_predictor=True)
+    params = dynamic.init_llava_params(jax.random.key(3), cfg)
+    rng = np.random.default_rng(3)
+    ids = rng.integers(3, cfg.text.vocab_size, size=(14,)).astype(np.int64)
+    ids[2] = -200
+    labels = ids.copy()
+    labels[:9] = -100  # answer = tail
+    plan = plan_batch([ids], cfg.num_image_tokens, labels_list=[labels])
+    imgs = rng.normal(
+        size=(1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    logits, lengths = dynamic.forward_nocache_eval(
+        params, cfg,
+        jnp.asarray(plan.token_ids), jnp.asarray(plan.is_image),
+        jnp.asarray(plan.image_slot), jnp.asarray(plan.valid_len),
+        jnp.asarray(plan.spans.image_start),
+        jnp.asarray(plan.spans.answer_start),
+        jnp.asarray(plan.spans.last_instruct_start),
+        jnp.asarray(plan.spans.last_instruct_end),
+        jnp.asarray(plan.spans.has_image),
+        jnp.asarray(imgs),
+    )
+    n_img = cfg.num_image_tokens
+    k = cfg.sparse.vision_keep_budget(n_img)
+    full = int(plan.valid_len[0])
+    # image pruned to budget; answer possibly pruned further
+    assert int(lengths[0]) <= full - n_img + k
+    assert np.isfinite(np.asarray(logits)).all()
