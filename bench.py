@@ -94,6 +94,11 @@ def main():
         # only the child processes touch the device: the axon tunnel serves
         # one client, and the parent must not hold HBM while an arm runs
         import jax
+
+        # compiles dominate bench wall time (~5 min per program over the
+        # remote-compile tunnel); cache them across arms and driver runs
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
         import jax.numpy as jnp
 
         from dynamic_llava_tpu.eval.bench import bench_config, dense_config
@@ -101,6 +106,10 @@ def main():
 
         platform = jax.devices()[0].platform
         params = dynamic.init_llava_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
+        if os.environ.get("BENCH_QUANT") == "int8":
+            from dynamic_llava_tpu.ops.quant import quantize_llm_params
+
+            params = quantize_llm_params(params)
         params = jax.block_until_ready(params)
 
     only = os.environ.get("BENCH_ONLY")

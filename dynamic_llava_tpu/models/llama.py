@@ -99,12 +99,21 @@ def index_layer(layers, i):
 
 
 def embed_tokens(params, ids: jax.Array) -> jax.Array:
-    return jnp.take(params["embed"], ids, axis=0)
+    emb = params["embed"]
+    if isinstance(emb, dict) and "q" in emb:  # int8: per-row scales gather too
+        q = jnp.take(emb["q"], ids, axis=0)
+        scl = jnp.take(emb["s"], ids, axis=0)
+        return q.astype(scl.dtype) * scl
+    return jnp.take(emb, ids, axis=0)
 
 
 def lm_head(params, cfg: LlamaConfig, x: jax.Array) -> jax.Array:
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
-    w = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    w = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
+    if isinstance(w, dict) and "q" in w:
+        w = w["q"].astype(x.dtype) * w["s"].astype(x.dtype)
+    if cfg.tie_word_embeddings:
+        w = w.T
     return jnp.einsum("...d,dv->...v", x, w, preferred_element_type=jnp.float32)
 
 

@@ -57,14 +57,22 @@ def self_attend(
     *,
     valid_len: Optional[jax.Array] = None,  # [B] — kv cols >= valid_len masked
     policy: Optional[jax.Array] = None,  # [B, S] soft keep mask (training)
+    allow_flash: bool = True,
 ) -> jax.Array:
     """Causal self-attention dispatcher: Pallas flash kernel on TPU for the
-    plain paths, XLA oracle elsewhere and for policy (training) attention."""
+    plain paths, XLA oracle elsewhere and for policy (training) attention.
+    The flash kernel has a custom VJP (XLA-recompute backward), so it is
+    also used under grad."""
     b, s, h, d = q.shape
-    if policy is None and flash_enabled(d):
-        from .flash_attention import flash_attention
+    if allow_flash and flash_enabled(d):
+        if policy is None:
+            from .flash_attention import flash_attention_vjp
 
-        return flash_attention(q, k, v, kv_length=valid_len, causal=True)
+            return flash_attention_vjp(q, k, v, kv_length=valid_len, causal=True)
+        if valid_len is None:
+            from .flash_policy import flash_policy_attention_vjp
+
+            return flash_policy_attention_vjp(q, k, v, policy)
     mask = make_attention_mask(
         s, s, causal=True, kv_length=valid_len, batch=b
     )

@@ -168,7 +168,7 @@ def flash_attention(
         causal=causal,
         q_offset=q_offset_static,
     )
-    out = pl.pallas_call(
+    out = pl.pallas_call(  # noqa: E501 — see flash_attention_vjp for the grad path
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -200,3 +200,52 @@ def flash_attention(
         interpret=interpret,
     )(kv_length, qm, km, vm)
     return out[:, :, :sq].transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_vjp_core(q, k, v, kv_length, causal):
+    return flash_attention(q, k, v, kv_length=kv_length, causal=causal)
+
+
+def _flash_vjp_fwd(q, k, v, kv_length, causal):
+    out = flash_attention(q, k, v, kv_length=kv_length, causal=causal)
+    return out, (q, k, v, kv_length)
+
+
+def _flash_vjp_bwd(causal, residuals, g):
+    """Backward by XLA recompute of the attention weights.
+
+    The forward pass never materializes the S x S score matrix (the flash
+    win for activation memory under remat); the backward recomputes it once
+    in fp32, which matches what the XLA oracle's grad would do.
+    """
+    from .attention import attend as _oracle_attend, make_attention_mask
+
+    q, k, v, kv_length = residuals
+
+    def oracle(q_, k_, v_):
+        b, sq = q_.shape[0], q_.shape[1]
+        mask = make_attention_mask(
+            sq, k_.shape[1], causal=causal, kv_length=kv_length, batch=b
+        )
+        return _oracle_attend(q_, k_, v_, mask=mask)
+
+    _, vjp = jax.vjp(oracle, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash_vjp_core.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+def flash_attention_vjp(q, k, v, *, kv_length=None, causal=True):
+    """Flash forward + differentiable (recompute) backward — safe inside
+    jax.grad / jax.checkpoint, used by the training path on TPU."""
+    if kv_length is None:
+        kv_length = jnp.full((q.shape[0],), k.shape[1], jnp.int32)
+    return _flash_vjp_core(q, k, v, kv_length, causal)

@@ -208,8 +208,6 @@ def build_app(controller: Controller):
 
 
 def main(argv=None):
-    import uvicorn
-
     parser = argparse.ArgumentParser()
     parser.add_argument("--host", type=str, default="localhost")
     parser.add_argument("--port", type=int, default=10000)
@@ -219,7 +217,16 @@ def main(argv=None):
     )
     args = parser.parse_args(argv)
     controller = Controller(args.dispatch_method)
-    uvicorn.run(build_app(controller), host=args.host, port=args.port, log_level="info")
+    from .http_compat import controller_stdlib_app, fastapi_available
+
+    if fastapi_available():
+        import uvicorn
+
+        uvicorn.run(build_app(controller), host=args.host, port=args.port,
+                    log_level="info")
+    else:
+        logger.info("fastapi/uvicorn unavailable; serving on stdlib http")
+        controller_stdlib_app(controller, args.host, args.port).serve()
 
 
 if __name__ == "__main__":

@@ -258,8 +258,6 @@ def build_app(worker: ModelWorker):
 
 
 def main(argv=None):
-    import uvicorn
-
     parser = argparse.ArgumentParser()
     parser.add_argument("--host", type=str, default="localhost")
     parser.add_argument("--port", type=int, default=40000)
@@ -282,7 +280,16 @@ def main(argv=None):
         args.model_name,
         args.limit_model_concurrency,
     )
-    uvicorn.run(build_app(worker), host=args.host, port=args.port, log_level="info")
+    from .http_compat import fastapi_available, worker_stdlib_app
+
+    if fastapi_available():
+        import uvicorn
+
+        uvicorn.run(build_app(worker), host=args.host, port=args.port,
+                    log_level="info")
+    else:
+        logger.info("fastapi/uvicorn unavailable; serving on stdlib http")
+        worker_stdlib_app(worker, args.host, args.port).serve()
 
 
 if __name__ == "__main__":
