@@ -91,8 +91,11 @@ def infer_vision_config_from_sd(sd: dict, base: ClipVisionConfig) -> ClipVisionC
         while f"{pref}encoder.layers.{n_layers}.layer_norm1.weight" in sd:
             n_layers += 1
         fc1 = sd[f"{pref}encoder.layers.0.mlp.fc1.weight"].shape[0]
-        # head count is not recoverable from shapes; keep the base ratio
-        heads = max(1, base.num_attention_heads * hidden // base.hidden_size)
+        # head count is not recoverable from shapes; CLIP towers use
+        # head_dim 64 (CLIP-L: 1024/64 = 16 heads)
+        heads = max(1, int(hidden) // 64) if hidden % 64 == 0 else max(
+            1, base.num_attention_heads * hidden // base.hidden_size
+        )
         return dataclasses.replace(
             base,
             hidden_size=int(hidden),
