@@ -210,7 +210,21 @@ def decode_attend(
     write-then-conditionally-advance protocol that replaces the reference's
     ``get_cache`` + ``update(text_decision)`` pair
     (cache_utils.py:150-268, dynamic_modeling_llama.py:1061-1083).
+
+    DYNAMIC_LLAVA_DECODE_KERNEL=1 opts into the Pallas length-skipping
+    kernel (`ops.decode_attention`), whose kv loop bound is the live length.
+    Measured on v5e it LOSES to this XLA path at serving batch sizes (the
+    (B x Hkv) grid executes sequentially on the single tensor core and
+    per-program work is tiny), so the default stays XLA; the kernel is for
+    long-context low-batch regimes where per-program work amortizes.
     """
+    d = q.shape[-1]
+    env = os.environ.get("DYNAMIC_LLAVA_DECODE_KERNEL")
+    use_kernel = env not in (None, "0", "false", "False")
+    if use_kernel and flash_enabled(d):
+        from .decode_attention import flash_decode_attention
+
+        return flash_decode_attention(q, k_cache, v_cache, kv_length, scale=scale)
     mask = make_attention_mask(
         1,
         k_cache.shape[1],
