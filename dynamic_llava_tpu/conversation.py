@@ -186,21 +186,68 @@ _SYS_MMTAG = (
     "<Image>visual content</Image>."
 )
 
+# v0's few-shot seed conversation (reference conv_vicuna_v0 messages;
+# offset=2 so it is skipped by chat UIs but rendered into prompts)
+_V0_SEED_Q = 'What are the key differences between renewable and non-renewable energy sources?'
+_V0_SEED_A = (
+    'Renewable energy sources are those that can be replenished naturally in '
+    'a relatively short amount of time, such as solar, wind, hydro, geotherma'
+    'l, and biomass. Non-renewable energy sources, on the other hand, are fin'
+    'ite and will eventually be depleted, such as coal, oil, and natural gas.'
+    ' Here are some key differences between renewable and non-renewable energ'
+    'y sources:\n1. Availability: Renewable energy sources are virtually inexh'
+    'austible, while non-renewable energy sources are finite and will eventua'
+    'lly run out.\n2. Environmental impact: Renewable energy sources have a mu'
+    'ch lower environmental impact than non-renewable sources, which can lead'
+    ' to air and water pollution, greenhouse gas emissions, and other negativ'
+    'e effects.\n3. Cost: Renewable energy sources can be more expensive to in'
+    'itially set up, but they typically have lower operational costs than non'
+    '-renewable sources.\n4. Reliability: Renewable energy sources are often m'
+    'ore reliable and can be used in more remote locations than non-renewable'
+    ' sources.\n5. Flexibility: Renewable energy sources are often more flexib'
+    'le and can be adapted to different situations and needs, while non-renew'
+    'able sources are more rigid and inflexible.\n6. Sustainability: Renewable'
+    ' energy sources are more sustainable over the long term, while non-renew'
+    'able sources are not, and their depletion can lead to economic and socia'
+    'l instability.\n'
+)
+
 conv_vicuna_v0 = _make(
     "v0", system=_SYS_V0, roles=("Human", "Assistant"),
     sep_style=SeparatorStyle.SINGLE, sep="###",
 )
+conv_vicuna_v0.messages = [
+    ["Human", _V0_SEED_Q],
+    ["Assistant", "".join(_V0_SEED_A) if isinstance(_V0_SEED_A, tuple) else _V0_SEED_A],
+]
+conv_vicuna_v0.offset = 2
 conv_vicuna_v1 = _make(
     "v1", system=_SYS_V1, roles=("USER", "ASSISTANT"), version="v1",
     sep_style=SeparatorStyle.TWO, sep=" ", sep2="</s>",
 )
+_SYS_LLAMA2_SAFETY = (
+    "You are a helpful, respectful and honest assistant. Always answer as "
+    "helpfully as possible, while being safe.  Your answers should not "
+    "include any harmful, unethical, racist, sexist, toxic, dangerous, or "
+    "illegal content. Please ensure that your responses are socially "
+    "unbiased and positive in nature.\n\n"
+    "If a question does not make any sense, or is not factually coherent, "
+    "explain why instead of answering something not correct. If you don't "
+    "know the answer to a question, please don't share false information."
+)
+_SYS_LLAVA_LLAMA2 = (
+    "You are a helpful language and vision assistant. "
+    "You are able to understand the visual content that the user provides, "
+    "and assist the user with a variety of tasks using natural language."
+)
+
 conv_llama_2 = _make(
-    "llama_2",
-    system=(
-        "You are a helpful language and vision assistant. "
-        "You are able to understand the visual content that the user provides, "
-        "and assist the user with a variety of tasks using natural language."
-    ),
+    "llama_2", system=_SYS_LLAMA2_SAFETY,
+    roles=("USER", "ASSISTANT"), version="llama_v2",
+    sep_style=SeparatorStyle.LLAMA_2, sep="<s>", sep2="</s>",
+)
+conv_llava_llama_2 = _make(
+    "llava_llama_2", system=_SYS_LLAVA_LLAMA2,
     roles=("USER", "ASSISTANT"), version="llama_v2",
     sep_style=SeparatorStyle.LLAMA_2, sep="<s>", sep2="</s>",
 )
@@ -243,6 +290,5 @@ conv_chatml_direct = _make(
 conv_templates["default"] = conv_vicuna_v0
 conv_templates["vicuna_v1"] = conv_vicuna_v1
 conv_templates["v0_plain"] = conv_llava_plain
-conv_templates["llava_llama_2"] = conv_llama_2
 
 default_conversation = conv_vicuna_v1

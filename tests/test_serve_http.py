@@ -1,0 +1,90 @@
+"""Serving stack over real HTTP (stdlib servers) as a regression test."""
+
+import json
+import socket
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+requests = pytest.importorskip("requests")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+class _EchoWorker:
+    """Minimal worker implementing the generate_stream_gate contract."""
+
+    def get_status(self):
+        return {"model_names": ["echo"], "speed": 1, "queue_length": 0}
+
+    def generate_stream_gate(self, params):
+        text = params["prompt"]
+        for i in range(3):
+            yield json.dumps(
+                {"text": text + " +" * (i + 1), "error_code": 0}
+            ).encode() + b"\0"
+
+
+def test_controller_worker_round_trip():
+    from dynamic_llava_tpu.serve.controller import Controller
+    from dynamic_llava_tpu.serve.http_compat import (
+        controller_stdlib_app,
+        worker_stdlib_app,
+    )
+
+    cport, wport = _free_port(), _free_port()
+    ctrl = Controller("shortest_queue")
+    csrv = controller_stdlib_app(ctrl, "127.0.0.1", cport)
+    csrv.serve(background=True)
+    wsrv = worker_stdlib_app(_EchoWorker(), "127.0.0.1", wport)
+    wsrv.serve(background=True)
+    time.sleep(0.3)
+
+    base = f"http://127.0.0.1:{cport}"
+    worker_addr = f"http://127.0.0.1:{wport}"
+    r = requests.post(base + "/register_worker", json={
+        "worker_name": worker_addr, "check_heart_beat": True,
+        "worker_status": None,
+    })
+    assert r.status_code == 200
+    assert requests.post(base + "/list_models").json()["models"] == ["echo"]
+    addr = requests.post(base + "/get_worker_address",
+                         json={"model": "echo"}).json()["address"]
+    assert addr == worker_addr
+
+    resp = requests.post(base + "/worker_generate_stream",
+                         json={"model": "echo", "prompt": "hi"},
+                         stream=True, timeout=30)
+    chunks = [json.loads(c.decode()) for c in
+              resp.iter_lines(decode_unicode=False, delimiter=b"\0") if c]
+    assert len(chunks) == 3
+    assert chunks[-1]["text"] == "hi + + +"
+    assert all(c["error_code"] == 0 for c in chunks)
+
+    # unknown model -> controller emits the error chunk
+    resp = requests.post(base + "/worker_generate_stream",
+                         json={"model": "nope", "prompt": "x"},
+                         stream=True, timeout=30)
+    err = [json.loads(c.decode()) for c in
+           resp.iter_lines(decode_unicode=False, delimiter=b"\0") if c]
+    assert err[0]["error_code"] == 2
+
+    # heartbeat keeps the worker registered
+    hb = requests.post(base + "/receive_heart_beat", json={
+        "worker_name": worker_addr, "queue_length": 1,
+    }).json()
+    assert hb["exist"]
+
+    csrv.shutdown()
+    wsrv.shutdown()

@@ -1,0 +1,78 @@
+"""Conversation-template byte parity against the reference implementation.
+
+Loads the reference's conversation module directly (when the snapshot is
+mounted) and compares rendered prompts — trained checkpoints are conditioned
+on these exact strings, so any drift is a correctness bug.
+"""
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+REF = "/root/reference/llava/conversation.py"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF), reason="reference snapshot not mounted"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_conv():
+    spec = importlib.util.spec_from_file_location("ref_conversation", REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+DIALOG = [
+    ("What is in the image?", "A red cat sitting on a mat."),
+    ("What color is it?", "It is red."),
+]
+
+
+@pytest.mark.parametrize(
+    "name", ["v0", "v1", "vicuna_v1", "llava_v0", "llava_v1", "mpt", "plain",
+             "llama_2", "v1_mmtag"]
+)
+def test_prompt_byte_parity(ref_conv, name):
+    from dynamic_llava_tpu import conversation as ours
+
+    ref = ref_conv.conv_templates[name].copy()
+    our = ours.conv_templates[name].copy()
+    assert ref.system == our.system
+    assert tuple(ref.roles) == tuple(our.roles)
+    if name == "plain":
+        # the reference's PLAIN renderer crashes on any second message
+        # (sep2 is None); it is only ever driven by preprocess_plain with a
+        # single caption — compare that form only
+        ref.append_message(ref.roles[0], DIALOG[0][1])
+        our.append_message(our.roles[0], DIALOG[0][1])
+        assert ref.get_prompt() == our.get_prompt()
+        return
+    for q, a in DIALOG:
+        ref.append_message(ref.roles[0], q)
+        ref.append_message(ref.roles[1], a)
+        our.append_message(our.roles[0], q)
+        our.append_message(our.roles[1], a)
+    assert ref.get_prompt() == our.get_prompt()
+    # generation-time form: trailing None for the assistant slot
+    ref.append_message(ref.roles[0], "And the size?")
+    ref.append_message(ref.roles[1], None)
+    our.append_message(our.roles[0], "And the size?")
+    our.append_message(our.roles[1], None)
+    assert ref.get_prompt() == our.get_prompt()
+
+
+def test_image_tuple_normalization(ref_conv):
+    from dynamic_llava_tpu import conversation as ours
+
+    ref = ref_conv.conv_templates["v1"].copy()
+    our = ours.conv_templates["v1"].copy()
+    msg = ("describe <image> please", None, "Default")
+    ref.append_message(ref.roles[0], msg)
+    ref.append_message(ref.roles[1], None)
+    our.append_message(our.roles[0], msg)
+    our.append_message(our.roles[1], None)
+    assert ref.get_prompt() == our.get_prompt()
