@@ -35,22 +35,24 @@ import jax
 import jax.numpy as jnp
 
 
-# below this sequence length the XLA fused attention wins on v5e (measured:
-# 7B prefill S=703 — XLA 100.7 ms vs Pallas 112.9 ms; the kernel's advantage
-# is avoiding the S^2 score materialization, which only bites at long S)
-FLASH_MIN_SEQ = 1024
+# XLA's fused attention beats the Pallas kernel whenever the [B, H, S, S]
+# fp32 score tensor comfortably fits in HBM (measured on v5e: S=703 7B
+# prefill XLA 100.7 ms vs Pallas 112.9 ms; S=2048 B=1 H=8 XLA 2.26 ms vs
+# 2.70 ms). The kernel's win is avoiding that materialization entirely, so
+# dispatch on its would-be size: above this many bytes, use flash.
+FLASH_LOGITS_BYTES = 1 << 30
 
 
-def flash_enabled(head_dim: int, seq_len: int | None = None) -> bool:
-    """Use the Pallas fused kernel when on real TPU hardware with a
-    kernel-friendly head dim and a long enough sequence.
-    Override with DYNAMIC_LLAVA_FLASH=0/1."""
+def flash_enabled(head_dim: int, logits_bytes: int | None = None) -> bool:
+    """Use the Pallas fused kernel when on real TPU hardware, with a
+    kernel-friendly head dim, and when the XLA path's materialized score
+    tensor would be large. Override with DYNAMIC_LLAVA_FLASH=0/1."""
     env = os.environ.get("DYNAMIC_LLAVA_FLASH")
     if env is not None:
         return env not in ("0", "false", "False")
     if head_dim < 64 or head_dim % 8 != 0:
         return False
-    if seq_len is not None and seq_len < FLASH_MIN_SEQ:
+    if logits_bytes is not None and logits_bytes < FLASH_LOGITS_BYTES:
         return False
     try:
         plat = jax.devices()[0].platform
@@ -73,7 +75,7 @@ def self_attend(
     The flash kernel has a custom VJP (XLA-recompute backward), so it is
     also used under grad."""
     b, s, h, d = q.shape
-    if allow_flash and flash_enabled(d, s):
+    if allow_flash and flash_enabled(d, b * h * s * s * 4):
         if policy is None:
             from .flash_attention import flash_attention_vjp
 
@@ -230,7 +232,7 @@ def decode_attend(
     d = q.shape[-1]
     env = os.environ.get("DYNAMIC_LLAVA_DECODE_KERNEL")
     use_kernel = env not in (None, "0", "false", "False")
-    if use_kernel and flash_enabled(d):
+    if use_kernel and flash_enabled(d, None):
         from .decode_attention import flash_decode_attention
 
         return flash_decode_attention(q, k_cache, v_cache, kv_length, scale=scale)

@@ -83,10 +83,14 @@ def _policy_kernel(
         e = jnp.exp(s - m_new) * pol
         den = den * alpha + jnp.sum(e, axis=1, keepdims=True)
         acc = acc * alpha + jnp.dot(e, v_blk, preferred_element_type=jnp.float32)
-        # eps/N smoothing sums v over ALL in-range columns (mask-independent)
+        # eps/N smoothing sums v over ALL in-range columns (mask-independent).
+        # Build the [block_k, 1] range mask directly — Mosaic cannot
+        # transpose boolean vectors.
+        col_b = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, 1), 0
+        )
         vsum = vsum + jnp.sum(
-            jnp.where((col_ids[:1] < seq_len).T, v_blk, 0.0),
-            axis=0, keepdims=True,
+            jnp.where(col_b < seq_len, v_blk, 0.0), axis=0, keepdims=True
         )
         return acc, den, m_new, vsum
 
@@ -102,11 +106,11 @@ def _policy_kernel(
     # Those blocks were not visited, so add the remaining Σv here.
     def tail_body(ki, vs):
         v_blk = v_ref[pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        col_ids = ki * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (1, block_k), 1
+        col_b = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, 1), 0
         )
         return vs + jnp.sum(
-            jnp.where((col_ids < seq_len).T, v_blk, 0.0), axis=0, keepdims=True
+            jnp.where(col_b < seq_len, v_blk, 0.0), axis=0, keepdims=True
         )
 
     vsum = jax.lax.fori_loop(num_k_blocks, pl.cdiv(s_kv, block_k), tail_body, vsum)
