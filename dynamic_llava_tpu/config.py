@@ -16,9 +16,8 @@ from __future__ import annotations
 
 import dataclasses
 import json
-import math
 from dataclasses import dataclass, field
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 
 def _round_keep(n_tokens: int, keep_rate: float) -> int:

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 from enum import Enum, auto
-from typing import Any, Callable, Dict, List, Sequence, Tuple
+from typing import Any, Callable, Dict, List, Tuple
 
 
 class SeparatorStyle(Enum):

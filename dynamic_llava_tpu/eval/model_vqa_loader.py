@@ -13,8 +13,6 @@ import argparse
 import json
 import math
 import os
-from typing import List
-
 import numpy as np
 
 
@@ -49,7 +47,6 @@ def build_prompt(question: str, conv_mode: str, mm_use_im_start_end: bool) -> st
 
 
 def eval_model(args):
-    import jax.numpy as jnp
     from PIL import Image
 
     from ..generation.generate import GenerationConfig, Generator

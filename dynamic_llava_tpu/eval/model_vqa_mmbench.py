@@ -32,7 +32,6 @@ def get_options(row, options):
 
 def eval_model(args):
     import pandas as pd
-    from PIL import Image
 
     from ..constants import (
         DEFAULT_IM_END_TOKEN,

@@ -8,7 +8,7 @@ that axis of every cache buffer — no per-layer tuple shuffling.
 
 from __future__ import annotations
 
-from typing import List, NamedTuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

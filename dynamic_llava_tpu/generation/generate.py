@@ -12,8 +12,7 @@ Sampling: greedy and temperature/top-p, matching the eval harnesses'
 
 from __future__ import annotations
 
-import functools
-from typing import List, NamedTuple, Optional, Sequence
+from typing import List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

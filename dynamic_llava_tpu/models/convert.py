@@ -10,14 +10,13 @@ and per-layer tensors are stacked along a leading layer axis for
 
 from __future__ import annotations
 
-import json
 import os
 import re
-from typing import Dict, Iterable, Optional
+from typing import Dict
 
 import numpy as np
 
-from ..config import ClipVisionConfig, LlamaConfig, LlavaConfig, SparseConfig
+from ..config import ClipVisionConfig, LlamaConfig, SparseConfig
 
 
 def _np(t):

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import LlavaConfig
-from ..multimodal.fusion import FusionPlan, fuse_embeddings
+from ..multimodal.fusion import fuse_embeddings
 from ..ops.gumbel import gumbel_keep_mask
 from ..ops.kv_cache import (
     KVCache,

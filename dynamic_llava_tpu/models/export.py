@@ -9,7 +9,6 @@ load in the reference implementation (and in ours via the builder) — the
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from typing import Dict

@@ -9,12 +9,12 @@ the TokenPacker point-to-region projector
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..config import ClipVisionConfig, SparseConfig
+from ..config import ClipVisionConfig
 from ..ops.attention import attend
 from ..ops.norm import layer_norm
 from .clip import _encoder_layer, patchify, vision_tower_features

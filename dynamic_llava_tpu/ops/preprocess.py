@@ -15,7 +15,7 @@ kernels differ in edge handling and uint8 rounding).
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ from __future__ import annotations
 import argparse
 import base64
 import datetime
-import hashlib
 import json
 import os
 import time
@@ -20,7 +19,7 @@ from io import BytesIO
 import requests
 
 from ..constants import LOGDIR
-from ..conversation import SeparatorStyle, conv_templates, default_conversation
+from ..conversation import SeparatorStyle, default_conversation
 from ..utils import build_logger, moderation_msg, server_error_msg, violates_moderation
 
 logger = build_logger("gradio_web_server", "gradio_web_server.log")

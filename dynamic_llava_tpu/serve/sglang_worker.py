@@ -20,7 +20,7 @@ import json
 import threading
 import time
 import uuid
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

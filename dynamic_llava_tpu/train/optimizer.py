@@ -10,7 +10,7 @@ The frozen vision tower gets ``set_to_zero``. Implemented with
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import Any
 
 import jax
 import optax

@@ -8,8 +8,7 @@ the TPU-native equivalent of the reference's DeepSpeed ZeRO-3 step
 
 from __future__ import annotations
 
-import functools
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

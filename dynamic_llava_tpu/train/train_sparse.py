@@ -18,12 +18,9 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def parse_args(argv=None):

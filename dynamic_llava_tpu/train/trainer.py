@@ -11,20 +11,18 @@ auto-resume (train_sparse.py:1173-1176).
 from __future__ import annotations
 
 import json
-import math
 import os
 import time
-from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, Iterator
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import LlavaConfig
 from ..parallel.sharding import llava_param_specs, make_mesh, shard_params
 from .optimizer import cosine_with_warmup, gumbel_tau_schedule, make_optimizer
-from .step import TrainBatch, batch_from_plan, make_train_step, shard_batch
+from .step import batch_from_plan, make_train_step, shard_batch
 
 
 @dataclass
