@@ -129,6 +129,73 @@ class Generator:
             state = self._decode(self.params, self.cfg, tok, state)
         return out
 
+    def generate_anyres(
+        self,
+        input_ids_list: List[np.ndarray],
+        images,  # list of PIL images
+        grid_pinpoints,
+        image_processor,
+        merge_type: str = "spatial_unpad",
+    ) -> List[List[int]]:
+        """High-resolution (anyres) generation: tile + encode host-side,
+        splice variable per-image token counts via the fusion planner, and
+        run the standard prefill/decode on pre-encoded features. Dense path
+        only (reference parity: anyres has no sparsification recipe)."""
+        from ..mm_utils import process_anyres_image
+        from ..multimodal.anyres import encode_images_anyres
+
+        gc = self.gen_cfg
+        tiles_list = [
+            process_anyres_image(im, image_processor, grid_pinpoints)
+            for im in images
+        ]
+        sizes = [im.size for im in images]
+        feats = encode_images_anyres(
+            self.params, self.cfg, tiles_list, sizes, grid_pinpoints, merge_type
+        )
+        counts = [[f.shape[0]] for f in feats]
+        n_max = max(f.shape[0] for f in feats)
+        feat_pad = np.zeros((len(feats), n_max, feats[0].shape[1]), np.float32)
+        for i, f in enumerate(feats):
+            feat_pad[i, : f.shape[0]] = f
+
+        plan = plan_batch(
+            input_ids_list, 0, tokens_per_image_list=counts,
+            max_length=self.cfg.model_max_length,
+        )
+        cache = dynamic.make_gen_cache(
+            self.cfg, plan.batch, plan.seq_len, gc.max_new_tokens,
+            jnp.dtype(gc.cache_dtype),
+        )
+        state, _ = self._prefill(
+            self.params, self.cfg,
+            jnp.asarray(plan.token_ids), jnp.asarray(plan.is_image),
+            jnp.asarray(plan.image_slot), jnp.asarray(plan.valid_len),
+            jnp.asarray(plan.spans.image_start),
+            jnp.asarray(plan.spans.last_instruct_start),
+            jnp.asarray(plan.spans.last_instruct_end),
+            jnp.asarray(plan.spans.has_image),
+            None, cache, jnp.asarray(feat_pad),
+        )
+        b = plan.batch
+        out: List[List[int]] = [[] for _ in range(b)]
+        done = np.zeros(b, bool)
+        rng = jax.random.key(0)
+        for step in range(gc.max_new_tokens):
+            rng, krng = jax.random.split(rng)
+            tok = _sample(krng, state.last_logits, gc.temperature, gc.top_p)
+            tok_np = np.asarray(tok)
+            for i in range(b):
+                if not done[i]:
+                    t = int(tok_np[i])
+                    out[i].append(t)
+                    if t == gc.eos_token_id:
+                        done[i] = True
+            if done.all() or step == gc.max_new_tokens - 1:
+                break
+            state = self._decode(self.params, self.cfg, tok, state)
+        return out
+
     def cache_lengths(self, state: dynamic.GenState) -> np.ndarray:
         """Per-layer persisted KV lengths — the ``true_cache_length``
         observability the reference's LVIS probes log
@@ -136,4 +203,71 @@ class Generator:
         return np.concatenate(
             [np.asarray(state.cache.pre.length), np.asarray(state.cache.post.length)],
             axis=0,
+        )
+
+
+class ChatSession:
+    """Multi-round chat on ONE live KV cache.
+
+    Round 1 runs the multimodal prefill; later rounds feed only the new
+    instruct chunk through the continuation path (E5) instead of
+    re-prefilling the whole conversation — the reference's multi-round
+    cache handling (dynamic_modeling_llama.py:2506-2521), batched and
+    chunked. Decoded tokens stream through the normal decode step.
+    """
+
+    def __init__(self, generator: Generator, max_new_tokens_total: int = 2048):
+        self.gen = generator
+        self.budget = max_new_tokens_total
+        self.state: Optional[dynamic.GenState] = None
+        self._continue = jax.jit(
+            dynamic.prefill_continue, static_argnums=(1,)
+        )
+
+    def ask(
+        self,
+        input_ids: np.ndarray,  # round 1: full prompt; later: the new chunk only
+        pixel_values: Optional[np.ndarray] = None,
+        stopping_criteria=None,
+        max_new_tokens: Optional[int] = None,
+    ) -> List[int]:
+        gc = self.gen.gen_cfg
+        max_new = max_new_tokens or gc.max_new_tokens
+        if self.state is None:
+            plan = plan_batch(
+                [input_ids],
+                self.gen.cfg.num_image_tokens if pixel_values is not None else 0,
+                max_length=self.gen.cfg.model_max_length,
+            )
+            self.state, _ = self.gen.prefill_from_plan(
+                plan, pixel_values, self.budget
+            )
+        else:
+            chunk = jnp.asarray(np.asarray(input_ids, np.int64)[None])
+            self.state = self._continue(
+                self.gen.params, self.gen.cfg, chunk, self.state
+            )
+
+        out: List[int] = []
+        for _ in range(max_new):
+            tok = int(np.argmax(np.asarray(self.state.last_logits[0])))
+            if tok == gc.eos_token_id:
+                # feed EOS through so the cache stays aligned with history
+                self.state = self.gen._decode(
+                    self.gen.params, self.gen.cfg, jnp.asarray([tok]), self.state
+                )
+                break
+            out.append(tok)
+            if stopping_criteria is not None and stopping_criteria(out):
+                break
+            self.state = self.gen._decode(
+                self.gen.params, self.gen.cfg, jnp.asarray([tok]), self.state
+            )
+        return out
+
+    def cache_lengths(self) -> np.ndarray:
+        assert self.state is not None
+        return np.concatenate(
+            [np.asarray(self.state.cache.pre.length),
+             np.asarray(self.state.cache.post.length)], axis=0,
         )

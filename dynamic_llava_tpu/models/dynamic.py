@@ -135,13 +135,22 @@ def prefill(
     has_image: jax.Array,  # [B] bool
     pixel_values: Optional[jax.Array],  # [B, H, W, 3] or None (text-only)
     cache: TieredCache,
+    image_features: Optional[jax.Array] = None,  # [B, N_pad, D] pre-encoded
 ) -> Tuple[GenState, PrefillInfo]:
+    """``image_features`` bypasses the in-graph tower for pre-encoded inputs
+    (anyres tiling produces per-sample token counts the planner already
+    encodes in ``plan_image_slot``; the vision predictor's fixed-span top-k
+    assumes the standard tower, so use features only with predictors off —
+    matching the reference, where anyres exists on the dense path only)."""
     tcfg, sparse = cfg.text, cfg.sparse
     b, s = plan_token_ids.shape
     n_img = cfg.num_image_tokens
 
     x = llama.embed_tokens(params["llm"], plan_token_ids)
-    if pixel_values is not None:
+    if image_features is not None:
+        x = fuse_embeddings(x, image_features, plan_is_image, plan_image_slot)
+        pixel_values = None
+    elif pixel_values is not None:
         img_feats = encode_images(params, cfg, pixel_values)
         x = fuse_embeddings(x, img_feats, plan_is_image, plan_image_slot)
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
@@ -390,8 +399,9 @@ def decode_step(
     # dropped (they still attend this step from the scratch slot). This is
     # what lets the tier be ALLOCATED at keep_rate x max_new instead of
     # worst-case max_new.
-    post_budget = state.cache.post.max_len - 1
-    keep = keep * (state.cache.post.length[0] < post_budget).astype(jnp.int32)
+    if state.cache.post.num_layers > 0:
+        post_budget = state.cache.post.max_len - 1
+        keep = keep * (state.cache.post.length[0] < post_budget).astype(jnp.int32)
 
     d2 = llama.run_layers_decode(
         params["llm"], tcfg, x, pos, state.cache.post,

@@ -223,6 +223,9 @@ def run_layers_prefill(
     """
     hi = cfg.num_hidden_layers if hi is None else hi
     assert cache.num_layers == hi - lo, (cache.num_layers, lo, hi)
+    if hi == lo:  # empty range (e.g. sparse_layer == num_hidden_layers)
+        return PrefillResult(x=x, cache=cache._replace(
+            length=jnp.broadcast_to(valid_len[None, :], cache.length.shape)))
     layers = params["layers"]
     b, s, d = x.shape
     layer_ids = jnp.arange(hi - lo, dtype=jnp.int32)
@@ -274,6 +277,8 @@ def run_layers_decode(
     """
     hi = cfg.num_hidden_layers if hi is None else hi
     assert cache.num_layers == hi - lo, (cache.num_layers, lo, hi)
+    if hi == lo:
+        return DecodeResult(x=x, cache=cache)
     layers = params["layers"]
     b = x.shape[0]
     layer_ids = jnp.arange(hi - lo, dtype=jnp.int32)
@@ -324,6 +329,8 @@ def run_layers_extend(
     """
     hi = cfg.num_hidden_layers if hi is None else hi
     assert cache.num_layers == hi - lo
+    if hi == lo:
+        return DecodeResult(x=x, cache=cache)
     layers = params["layers"]
     b, m, _ = x.shape
     max_len = cache.max_len

@@ -69,6 +69,8 @@ def main(args=None):
     image = load_image(args.image_file)
     pixels = process_images([image], image_processor, runtime.cfg)
 
+    from ..generation.generate import ChatSession
+
     gen = Generator(
         runtime.params,
         runtime.cfg,
@@ -78,7 +80,11 @@ def main(args=None):
             eos_token_id=tokenizer.eos_token_id,
         ),
     )
+    # multi-round chat keeps ONE live KV cache: round 1 prefills, later
+    # rounds feed only the new chunk through the continuation path (E5)
+    session = ChatSession(gen, max_new_tokens_total=runtime.cfg.model_max_length)
 
+    prev_prompt = ""
     first_turn = True
     while True:
         try:
@@ -92,21 +98,34 @@ def main(args=None):
         print(f"{conv.roles[1]}: ", end="", flush=True)
         if first_turn:
             inp = DEFAULT_IMAGE_TOKEN + "\n" + inp
-            first_turn = False
         conv.append_message(conv.roles[0], inp)
         conv.append_message(conv.roles[1], None)
         prompt = conv.get_prompt()
-        input_ids = np.asarray(tokenizer_image_token(prompt, tokenizer), np.int64)
         stop_str = (
             conv.sep if conv.sep_style != SeparatorStyle.TWO else conv.sep2
         )
-        stopping = KeywordsStoppingCriteria([stop_str], tokenizer, len(input_ids))
-        out_ids = gen.generate([input_ids], pixels, stopping_criteria=stopping)[0]
+        if first_turn:
+            input_ids = np.asarray(
+                tokenizer_image_token(prompt, tokenizer), np.int64
+            )
+            stopping = KeywordsStoppingCriteria([stop_str], tokenizer, 0)
+            out_ids = session.ask(input_ids, pixels, stopping_criteria=stopping)
+            first_turn = False
+        else:
+            # feed only the delta since the last rendered prompt (strip the
+            # shared prefix; tokenize without BOS)
+            delta = prompt[len(prev_prompt):]
+            chunk = np.asarray(tokenizer(delta).input_ids, np.int64)
+            if len(chunk) and chunk[0] == tokenizer.bos_token_id:
+                chunk = chunk[1:]
+            stopping = KeywordsStoppingCriteria([stop_str], tokenizer, 0)
+            out_ids = session.ask(chunk, stopping_criteria=stopping)
         outputs = tokenizer.decode(out_ids, skip_special_tokens=True).strip()
         if outputs.endswith(stop_str):
             outputs = outputs[: -len(stop_str)].strip()
         print(outputs)
         conv.messages[-1][-1] = outputs
+        prev_prompt = conv.get_prompt()
         if args.debug:
             print("\n", {"prompt": prompt, "outputs": outputs}, "\n")
 
