@@ -46,6 +46,8 @@ def _cfg(name: str):
     )
     if name == "7b":
         return LlavaConfig(text=LlamaConfig.llama_7b(), sparse=sparse)
+    if name == "13b":
+        return LlavaConfig(text=LlamaConfig.llama_13b(), sparse=sparse)
     if name == "1b":
         return LlavaConfig(
             text=LlamaConfig(
@@ -105,11 +107,31 @@ def main():
         from dynamic_llava_tpu.models import dynamic
 
         platform = jax.devices()[0].platform
-        params = dynamic.init_llava_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
-        if os.environ.get("BENCH_QUANT") == "int8":
-            from dynamic_llava_tpu.ops.quant import quantize_llm_params
+        if os.environ.get("BENCH_QUANT") in ("int8", "int4"):
+            # int8 weights are built directly (13B bf16 would not fit long
+            # enough to be quantized in place)
+            from dynamic_llava_tpu.models.clip import init_clip_params
+            from dynamic_llava_tpu.models.predictors import init_predictors
+            from dynamic_llava_tpu.models.projector import init_projector_params
+            from dynamic_llava_tpu.ops.quant import init_quantized_llama_params
 
-            params = quantize_llm_params(params)
+            bits = 4 if os.environ.get("BENCH_QUANT") == "int4" else 8
+            k = jax.random.key(0)
+            params = {
+                "llm": init_quantized_llama_params(k, cfg.text, bits=bits),
+                "vision_tower": init_clip_params(k, cfg.vision, jnp.bfloat16),
+                "mm_projector": init_projector_params(
+                    k, cfg.mm_projector_type, cfg.vision.hidden_size,
+                    cfg.text.hidden_size, jnp.bfloat16,
+                ),
+            }
+            preds = init_predictors(k, cfg.text, cfg.sparse, jnp.bfloat16)
+            if preds:
+                params["predictors"] = preds
+        else:
+            params = dynamic.init_llava_params(
+                jax.random.key(0), cfg, dtype=jnp.bfloat16
+            )
         params = jax.block_until_ready(params)
 
     only = os.environ.get("BENCH_ONLY")

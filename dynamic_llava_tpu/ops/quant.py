@@ -22,32 +22,39 @@ import jax.numpy as jnp
 QUANT_TARGETS = ("q", "k", "v", "o", "gate", "up", "down")
 
 
-def _quantize_2d(w: jax.Array, axis: int) -> dict:
+def _quantize_2d(w: jax.Array, axis: int, bits: int = 8) -> dict:
+    """bits=8 -> int8 (bnb 8-bit parity); bits=4 -> native TPU int4
+    (bnb 4-bit parity; 13B fits one v5e chip at 6.6 GB)."""
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
-    scale = jnp.maximum(amax / 127.0, 1e-8)
-    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    qmax = 127.0 if bits == 8 else 7.0
+    qtype = jnp.int8 if bits == 8 else jnp.int4
+    scale = jnp.maximum(amax / qmax, 1e-8)
+    q = jnp.clip(jnp.round(wf / scale), -qmax, qmax).astype(qtype)
     # scales keep the source dtype so activation dtypes are unchanged
     return {"q": q, "s": scale.astype(w.dtype)}
 
 
-_quantize_2d_jit = jax.jit(_quantize_2d, static_argnums=(1,), donate_argnums=(0,))
+_quantize_2d_jit = jax.jit(
+    _quantize_2d, static_argnums=(1, 2), donate_argnums=(0,)
+)
 
 
-@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
-def _quantize_3d(w: jax.Array, axis: int) -> dict:
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(0,))
+def _quantize_3d(w: jax.Array, axis: int, bits: int = 8) -> dict:
     # lax.map keeps the fp32 intermediate at one layer's size; donating the
     # bf16 input lets XLA reuse its space for the outputs (at 7B the full
     # set of weights leaves no room for an extra copy)
-    out = jax.lax.map(lambda wl: _quantize_2d(wl, axis - 1), w)
+    out = jax.lax.map(lambda wl: _quantize_2d(wl, axis - 1, bits), w)
     return out
 
 
-def quantize_weight(w: jax.Array, axis: int = 0) -> dict:
-    """Symmetric per-channel int8 over the contraction axis' complement."""
+def quantize_weight(w: jax.Array, axis: int = 0, bits: int = 8) -> dict:
+    """Symmetric per-channel int8/int4 over the contraction axis'
+    complement."""
     if w.ndim == 3:
-        return _quantize_3d(w, axis)
-    return _quantize_2d_jit(w, axis)
+        return _quantize_3d(w, axis, bits)
+    return _quantize_2d_jit(w, axis, bits)
 
 
 def dequantize_weight(leaf, dtype=jnp.bfloat16) -> jax.Array:
@@ -64,6 +71,7 @@ def quantize_llm_params(
     params: dict,
     targets: Sequence[str] = QUANT_TARGETS,
     quantize_embed: bool = True,
+    bits: int = 8,
 ) -> dict:
     """Quantize the decoder's large matrices; norms/predictors stay bf16.
 
@@ -79,14 +87,62 @@ def quantize_llm_params(
     for name in list(targets):
         if name in layers and not name.endswith("_lora"):
             w = layers.pop(name)
-            layers[name] = quantize_weight(w, axis=1)
+            layers[name] = quantize_weight(w, axis=1, bits=bits)
             del w
     if quantize_embed:
         emb = llm.pop("embed")
-        llm["embed"] = quantize_weight(emb, axis=1)
+        llm["embed"] = quantize_weight(emb, axis=1, bits=bits)
         del emb
         if "lm_head" in llm:
             head = llm.pop("lm_head")
-            llm["lm_head"] = quantize_weight(head, axis=0)
+            llm["lm_head"] = quantize_weight(head, axis=0, bits=bits)
             del head
     return params
+
+
+def init_quantized_llama_params(key, cfg, targets: Sequence[str] = QUANT_TARGETS,
+                                bits: int = 8):
+    """Random-initialize a decoder DIRECTLY in int8 (for benchmarking models
+    whose full-precision weights would not fit on a chip — 13B bf16 is
+    26 GB, its int8 form 13 GB). Layer norms stay bf16; statistics match
+    quantize_llm_params(init(...)) on normal(0.02) weights."""
+    import jax
+
+    from ..models.llama import init_llama_params
+
+    # shapes without materializing: init a tiny template per leaf
+    shapes = jax.eval_shape(
+        lambda k: init_llama_params(k, cfg, jnp.bfloat16), key
+    )
+    ks = iter(jax.random.split(key, 64))
+
+    def build(path_name, leaf):
+        name = path_name[-1] if path_name else ""
+        quantize = (
+            name in targets
+            or name in ("embed", "lm_head")
+        )
+        if quantize and leaf.ndim >= 2:
+            qmax = 127 if bits == 8 else 7
+            qtype = jnp.int8 if bits == 8 else jnp.int4
+            q = jax.random.randint(
+                next(ks), leaf.shape, -qmax, qmax + 1, dtype=jnp.int32
+            ).astype(qtype)
+            # scale so dequantized stddev ~ 0.02 (uniform int std ~ qmax/sqrt3)
+            s_shape = list(leaf.shape)
+            axis = 0 if name == "lm_head" else leaf.ndim - 2
+            s_shape[axis] = 1
+            s = jnp.full(s_shape, 0.02 / (qmax / 1.732), jnp.bfloat16)
+            return {"q": q, "s": s}
+        if name.endswith("_ln") or name == "final_ln":
+            return jnp.ones(leaf.shape, jnp.bfloat16)
+        return jax.random.normal(next(ks), leaf.shape, jnp.bfloat16) * jnp.asarray(
+            0.02, jnp.bfloat16
+        )
+
+    def walk(tree, path=()):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        return build(path, tree)
+
+    return walk(shapes)

@@ -88,3 +88,17 @@ def test_beam_search_beats_greedy_logprob():
                        eos_token_id=-1)
     assert len(best) == 5
     assert all(0 <= t < cfg.text.vocab_size for t in best)
+
+
+def test_int4_close_to_fp():
+    """bnb-4bit parity: native TPU int4 weights, per-channel scales."""
+    cfg = LlamaConfig.tiny()
+    params = llama.init_llama_params(jax.random.key(3), cfg)
+    ref_params = llama.init_llama_params(jax.random.key(3), cfg)
+    q4 = quantize_llm_params({"llm": params}, bits=4)["llm"]
+    assert str(q4["layers"]["gate"]["q"].dtype) == "int4"
+    ids = jnp.asarray(np.random.default_rng(4).integers(0, cfg.vocab_size, (1, 8)))
+    ref = np.asarray(llama.forward_dense(ref_params, cfg, ids))
+    got = np.asarray(llama.forward_dense(q4, cfg, ids))
+    cos = (ref * got).sum() / (np.linalg.norm(ref) * np.linalg.norm(got))
+    assert cos > 0.9, cos
