@@ -244,3 +244,73 @@ def decode_attend(
         batch=q.shape[0],
     )
     return attend(q, k_cache, v_cache, mask=mask, scale=scale)
+
+
+def blockwise_attend(
+    q: jax.Array,  # [B, S, H, d]
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    policy: Optional[jax.Array] = None,  # [B, S]
+    kv_length: Optional[jax.Array] = None,  # [B]
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    eps: float = 1e-6,
+) -> jax.Array:
+    """Causal (policy-)attention computed one q-block at a time with
+    per-block rematerialization: peak memory is O(block_q x S) instead of
+    O(S^2), and — because scan+checkpoint differentiate blockwise — so is
+    the BACKWARD pass. This is the memory-safe autodiff path behind the
+    Pallas kernels' custom VJPs (the kernels own the forward; this owns the
+    gradient recompute at shapes where the dense oracle would not fit)."""
+    b, s, h, d = q.shape
+    n_rep = h // k.shape[2]
+    kf = repeat_kv_heads(k, n_rep)
+    vf = repeat_kv_heads(v, n_rep)
+    if scale is None:
+        scale = d**-0.5
+    block_q = min(block_q, s)
+    pad = (-s) % block_q
+    qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    nblocks = qp.shape[1] // block_q
+    qb = qp.reshape(b, nblocks, block_q, h, d).transpose(1, 0, 2, 3, 4)
+
+    cols = jnp.arange(s, dtype=jnp.int32)
+    if policy is not None:
+        polf = policy.astype(jnp.float32)
+
+    def block(args):
+        qi, bi = args
+        rows = bi * block_q + jnp.arange(block_q, dtype=jnp.int32)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", qi, kf, preferred_element_type=jnp.float32
+        ) * scale
+        mask = rows[None, None, :, None] >= cols[None, None, None, :]
+        if kv_length is not None:
+            mask = mask & (cols[None, None, None, :] < kv_length[:, None, None, None])
+        if policy is None:
+            logits = jnp.where(mask, logits, jnp.float32(-1e30))
+            w = jax.nn.softmax(logits, axis=-1)
+        else:
+            logits = jnp.where(mask, logits, jnp.float32(-jnp.inf))
+            pol = polf[:, None, None, :]
+            diag = rows[None, None, :, None] == cols[None, None, None, :]
+            pol = jnp.where(diag, 1.0, pol)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            m = jnp.where(jnp.isfinite(m), m, 0.0)
+            e = jnp.exp(logits - m) * pol
+            w = (e + eps / s) / (jnp.sum(e, axis=-1, keepdims=True) + eps)
+        return jnp.einsum(
+            "bhqk,bkhd->bqhd", w, vf, preferred_element_type=jnp.float32
+        ).astype(q.dtype)
+
+    block = jax.checkpoint(block)
+
+    def body(_, args):
+        return None, block(args)
+
+    _, out = jax.lax.scan(
+        body, None, (qb, jnp.arange(nblocks, dtype=jnp.int32))
+    )
+    out = out.transpose(1, 0, 2, 3, 4).reshape(b, nblocks * block_q, h, d)
+    return out[:, :s]

@@ -218,22 +218,17 @@ def _flash_vjp_fwd(q, k, v, kv_length, causal):
 
 
 def _flash_vjp_bwd(causal, residuals, g):
-    """Backward by XLA recompute of the attention weights.
-
-    The forward pass never materializes the S x S score matrix (the flash
-    win for activation memory under remat); the backward recomputes it once
-    in fp32, which matches what the XLA oracle's grad would do.
-    """
-    from .attention import attend as _oracle_attend, make_attention_mask
+    """Backward by blockwise recompute: scan-over-q-blocks with per-block
+    remat keeps the gradient pass at O(block x S) memory — the dense-oracle
+    recompute would materialize the full S^2 scores (at training shapes,
+    more than a chip's HBM per layer)."""
+    from .attention import blockwise_attend
 
     q, k, v, kv_length = residuals
+    assert causal, "flash VJP is only used on the causal self-attention path"
 
     def oracle(q_, k_, v_):
-        b, sq = q_.shape[0], q_.shape[1]
-        mask = make_attention_mask(
-            sq, k_.shape[1], causal=causal, kv_length=kv_length, batch=b
-        )
-        return _oracle_attend(q_, k_, v_, mask=mask)
+        return blockwise_attend(q_, k_, v_, kv_length=kv_length)
 
     _, vjp = jax.vjp(oracle, q, k, v)
     dq, dk, dv = vjp(g)

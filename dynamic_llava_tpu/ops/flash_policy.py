@@ -209,14 +209,14 @@ def _policy_vjp_fwd(q, k, v, policy):
 
 
 def _policy_vjp_bwd(residuals, g):
-    from .attention import attend_with_policy, make_attention_mask
+    """Blockwise-remat gradient recompute (O(block x S) memory; see
+    attention.blockwise_attend)."""
+    from .attention import blockwise_attend
 
     q, k, v, policy = residuals
 
     def oracle(q_, k_, v_, p_):
-        b, s = q_.shape[0], q_.shape[1]
-        mask = make_attention_mask(s, s, causal=True, batch=b)
-        return attend_with_policy(q_, k_, v_, p_, mask=mask)
+        return blockwise_attend(q_, k_, v_, policy=p_)
 
     _, vjp = jax.vjp(oracle, q, k, v, policy)
     return vjp(g)
