@@ -52,3 +52,28 @@ def test_non_causal():
     ref = attend(q, k, v)
     got = flash_attention(q, k, v, causal=False, block_q=64, block_k=128, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-4)
+
+
+def test_blockwise_attend_matches_oracle():
+    """The memory-safe autodiff path equals the dense oracle (fwd + policy)."""
+    from dynamic_llava_tpu.ops.attention import (
+        attend_with_policy,
+        blockwise_attend,
+    )
+
+    b, s, h, d = 2, 70, 2, 16  # non-multiple of the block to hit padding
+    q = _rand((b, s, h, d), 10)
+    k = _rand((b, s, h, d), 11)
+    v = _rand((b, s, h, d), 12)
+    mask = make_attention_mask(s, s, causal=True, batch=b)
+    np.testing.assert_allclose(
+        np.asarray(blockwise_attend(q, k, v, block_q=32)),
+        np.asarray(attend(q, k, v, mask=mask)),
+        atol=2e-5, rtol=2e-4,
+    )
+    pol = jnp.asarray(np.random.default_rng(13).integers(0, 2, (b, s)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(blockwise_attend(q, k, v, policy=pol, block_q=32)),
+        np.asarray(attend_with_policy(q, k, v, pol, mask=mask)),
+        atol=2e-5, rtol=2e-4,
+    )
