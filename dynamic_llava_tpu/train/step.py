@@ -73,15 +73,58 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     param_specs=None,
     remat: bool = True,
+    grad_accum_steps: int = 1,
 ):
     """Returns jitted ``step(params, opt_state, batch, rng, tau) ->
     (params, opt_state, metrics)``. With a mesh, params/opt-state are
-    sharded per ``param_specs`` and the batch over the 'data' axis."""
+    sharded per ``param_specs`` and the batch over the 'data' axis.
+
+    ``grad_accum_steps > 1`` splits the batch's leading dim into that many
+    micro-batches and averages their gradients before the optimizer update —
+    how the reference's global batch 64 fits devices that cannot hold it
+    (the deepspeed recipe's gradient_accumulation_steps)."""
+
+    def grads_of(params, batch, rng, tau):
+        return jax.value_and_grad(loss_fn, has_aux=True)(
+            params, cfg, batch, rng, tau, remat
+        )
 
     def step(params, opt_state, batch: TrainBatch, rng, tau):
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params, cfg, batch, rng, tau, remat)
+        if grad_accum_steps == 1:
+            (loss, metrics), grads = grads_of(params, batch, rng, tau)
+        else:
+            def split(x):
+                if x is None:
+                    return None
+                b = x.shape[0]
+                assert b % grad_accum_steps == 0, (b, grad_accum_steps)
+                return x.reshape((grad_accum_steps, b // grad_accum_steps) + x.shape[1:])
+
+            micro = TrainBatch(*[split(f) for f in batch])
+            rngs = jax.random.split(rng, grad_accum_steps)
+
+            def body(carry, xs):
+                grads_acc, metrics_acc = carry
+                mb, r = xs
+                (loss_i, metrics_i), grads_i = grads_of(params, mb, r, tau)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads_i)
+                metrics_acc = jax.tree.map(jnp.add, metrics_acc, metrics_i)
+                return (grads_acc, metrics_acc), None
+
+            zero_grads = jax.tree.map(
+                lambda x: jnp.zeros(x.shape, jnp.float32), params
+            )
+            mb0 = jax.tree.map(lambda x: None if x is None else x[0], micro)
+            (_, m_shape), _ = jax.eval_shape(grads_of, params, mb0, rngs[0], tau)
+            zero_metrics = jax.tree.map(
+                lambda s_: jnp.zeros(s_.shape, s_.dtype), m_shape
+            )
+            (grads, metrics), _ = jax.lax.scan(
+                body, (zero_grads, zero_metrics), (micro, rngs)
+            )
+            inv = 1.0 / grad_accum_steps
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            metrics = jax.tree.map(lambda m: m * inv, metrics)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)

@@ -41,6 +41,7 @@ def parse_args(argv=None):
     # training
     p.add_argument("--output_dir", type=str, default="./checkpoints/run")
     p.add_argument("--per_device_train_batch_size", type=int, default=8)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--num_train_epochs", type=float, default=1.0)
     p.add_argument("--max_steps", type=int, default=-1)
     p.add_argument("--learning_rate", type=float, default=5e-6)
@@ -172,7 +173,11 @@ def train(argv=None):
     dataset = LazySupervisedDataset(args.data_path, tokenizer, data_args,
                                     image_processor)
     n_dev = len(jax.devices())
-    global_batch = args.per_device_train_batch_size * max(args.data_parallel, 1)
+    global_batch = (
+        args.per_device_train_batch_size
+        * max(args.data_parallel, 1)
+        * args.gradient_accumulation_steps
+    )
     steps_per_epoch = max(1, len(dataset) // global_batch)
     num_steps = (
         args.max_steps if args.max_steps > 0
@@ -192,6 +197,7 @@ def train(argv=None):
         save_steps=args.save_steps,
         seed=args.seed,
         gradient_checkpointing=args.gradient_checkpointing,
+        grad_accum_steps=args.gradient_accumulation_steps,
         report_to=args.report_to,
         data_parallel=args.data_parallel,
         fsdp_parallel=args.fsdp_parallel,

@@ -40,6 +40,7 @@ class TrainerConfig:
     save_steps: int = 500
     seed: int = 42
     gradient_checkpointing: bool = True
+    grad_accum_steps: int = 1
     report_to: str = "jsonl"  # "jsonl" | "none"
     lora_mode: bool = False
     # mesh
@@ -116,6 +117,7 @@ class Trainer:
         self.step_fn = make_train_step(
             cfg, self.optimizer, mesh=self.mesh, param_specs=self.specs,
             remat=tc.gradient_checkpointing,
+            grad_accum_steps=tc.grad_accum_steps,
         )
         self.logger = MetricsLogger(tc.output_dir, tc.report_to != "none")
         self.step = 0

@@ -21,6 +21,7 @@ python -m dynamic_llava_tpu.train.train_sparse \
     --requires_image \
     --output_dir "$OUT" \
     --per_device_train_batch_size 8 \
+    --gradient_accumulation_steps ${GA:-1} \
     --num_train_epochs 1 \
     --learning_rate 5e-6 \
     --predictor_lr 2e-4 \
