@@ -166,3 +166,30 @@ def test_grad_accumulation_matches_full_batch():
         atol=1e-5, rtol=1e-4,
     )
     assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_orbax_sharded_checkpoint_roundtrip(tmp_path):
+    """Save sharded params with orbax, restore onto the same mesh, compare.
+    (The trainer's save/resume path at multi-chip scale.)"""
+    import orbax.checkpoint as ocp
+
+    cfg = _cfg()
+    params = dynamic.init_llava_params(jax.random.key(5), cfg)
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    specs = llava_param_specs(cfg, params)
+    sharded = shard_params(params, mesh, specs)
+
+    path = str(tmp_path / "ckpt")
+    mgr = ocp.CheckpointManager(path)
+    mgr.save(0, args=ocp.args.Composite(params=ocp.args.StandardSave(sharded)))
+    mgr.wait_until_finished()
+
+    restored = mgr.restore(
+        0, args=ocp.args.Composite(params=ocp.args.StandardRestore(sharded))
+    )["params"]
+    a = np.asarray(sharded["llm"]["layers"]["gate"])
+    b = np.asarray(restored["llm"]["layers"]["gate"])
+    np.testing.assert_array_equal(a, b)
+    # restored arrays carry the mesh sharding
+    assert restored["llm"]["layers"]["gate"].sharding.num_devices == 8
