@@ -29,6 +29,11 @@ class GenerationConfig(NamedTuple):
     top_p: float = 1.0
     eos_token_id: int = 2
     cache_dtype: str = "bfloat16"
+    # True: allocate the sparse KV tier at keep_rate * max_new and force-drop
+    # beyond it (throughput/memory contract; generations that run to the full
+    # max_new lose their tail's KV wholesale). False: worst-case allocation,
+    # the predictor alone decides (quality-first — use for accuracy evals).
+    bound_kv_budget: bool = True
 
 
 def _sample(rng, logits: jax.Array, temperature: float, top_p: float) -> jax.Array:
@@ -70,7 +75,8 @@ class Generator:
     def prefill_from_plan(self, plan: FusionPlan, pixel_values, max_new_tokens: int):
         cache_dtype = jnp.dtype(self.gen_cfg.cache_dtype)
         cache = dynamic.make_gen_cache(
-            self.cfg, plan.batch, plan.seq_len, max_new_tokens, cache_dtype
+            self.cfg, plan.batch, plan.seq_len, max_new_tokens, cache_dtype,
+            bound_output_budget=self.gen_cfg.bound_kv_budget,
         )
         state, info = self._prefill(
             self.params, self.cfg,

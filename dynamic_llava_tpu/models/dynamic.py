@@ -574,9 +574,12 @@ def gen_cache_sizes(cfg: LlavaConfig, prompt_len: int, max_new_tokens: int,
 
 def make_gen_cache(
     cfg: LlavaConfig, batch: int, prompt_len: int, max_new_tokens: int,
-    dtype=jnp.bfloat16,
+    dtype=jnp.bfloat16, bound_output_budget: bool = True,
 ) -> TieredCache:
-    pre, post = gen_cache_sizes(cfg, prompt_len, max_new_tokens)
+    pre, post = gen_cache_sizes(
+        cfg, prompt_len, max_new_tokens,
+        bound_output_budget=bound_output_budget,
+    )
     return init_tiered_cache(
         cfg.text, cfg.sparse.sparse_layer, batch, pre, post, dtype
     )
