@@ -77,3 +77,41 @@ def test_blockwise_attend_matches_oracle():
         np.asarray(attend_with_policy(q, k, v, pol, mask=mask)),
         atol=2e-5, rtol=2e-4,
     )
+
+
+def test_flash_bwd_kernels_match_oracle_grads():
+    """True flash backward (dq/dk/dv kernels + LSE residuals) vs oracle,
+    with GQA and per-batch kv lengths."""
+    from dynamic_llava_tpu.ops.flash_attention import (
+        flash_attention,
+        flash_attention_bwd,
+    )
+
+    rng = np.random.default_rng(42)
+    b, sq, h, hkv, d = 2, 70, 4, 2, 16
+    q = jnp.asarray(rng.normal(size=(b, sq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, sq, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, sq, hkv, d)), jnp.float32)
+    kv_len = jnp.asarray([50, 70], jnp.int32)
+    g = jnp.asarray(rng.normal(size=(b, sq, h, d)), jnp.float32)
+    rows = np.arange(sq)
+    row_mask = (rows[None, :] < np.asarray(kv_len)[:, None]).astype(np.float32)
+    g = g * jnp.asarray(row_mask)[:, :, None, None]
+
+    def oracle(q_, k_, v_):
+        mask = make_attention_mask(sq, sq, causal=True, kv_length=kv_len, batch=b)
+        return attend(q_, k_, v_, mask=mask) * jnp.asarray(row_mask)[:, :, None, None]
+
+    _, vjp = jax.vjp(oracle, q, k, v)
+    refs = vjp(g)
+
+    out, lse = flash_attention(
+        q, k, v, kv_length=kv_len, causal=True, block_q=32, block_k=32,
+        interpret=True, save_residuals=True,
+    )
+    got = flash_attention_bwd(
+        q, k, v, out, lse, g, kv_length=kv_len, causal=True,
+        block_q=32, block_k=32, interpret=True,
+    )
+    for a, r in zip(got, refs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=3e-4, rtol=3e-3)
