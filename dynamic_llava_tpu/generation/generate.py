@@ -34,6 +34,16 @@ class GenerationConfig(NamedTuple):
     # max_new lose their tail's KV wholesale). False: worst-case allocation,
     # the predictor alone decides (quality-first — use for accuracy evals).
     bound_kv_budget: bool = True
+    # Tokens decoded per device round-trip: the decode loop runs on device as
+    # a lax.scan of this many steps, and the host only syncs between chunks
+    # (EOS / stopping / streaming). 1 reproduces the per-token loop.
+    decode_chunk: int = 32
+    # Prompt lengths and cache capacities are rounded up to this multiple so
+    # eval sweeps over thousands of distinct prompt lengths share a handful
+    # of compiled programs (remote TPU compiles take minutes each).
+    pad_multiple: int = 64
+    # Default PRNG seed for temperature>0 sampling; generate(seed=...) overrides.
+    seed: int = 0
 
 
 def _sample(rng, logits: jax.Array, temperature: float, top_p: float) -> jax.Array:
@@ -53,10 +63,12 @@ def _sample(rng, logits: jax.Array, temperature: float, top_p: float) -> jax.Arr
 class Generator:
     """Compiled-once generation harness for a fixed config.
 
-    ``prefill_fn`` and ``decode_fn`` are jitted; the Python loop only feeds
-    tokens and checks stop conditions (one host sync per token, same as the
-    reference's per-token sampling loop but with the whole layer stack fused
-    into a single XLA program).
+    ``prefill`` and the decode loop are jitted; decode runs ON DEVICE as a
+    ``lax.scan`` of ``decode_chunk`` steps (sampling included), so the host
+    syncs once per chunk instead of once per token — the per-token host
+    round-trip over the TPU tunnel would otherwise dominate tok/s. EOS,
+    stopping criteria, and streaming are resolved at chunk granularity; the
+    returned token lists are cut exactly at the stop point.
     """
 
     def __init__(self, params, cfg: LlavaConfig, gen_cfg: GenerationConfig = GenerationConfig()):
@@ -66,17 +78,47 @@ class Generator:
         # params are explicit jit arguments (a closure would bake the full
         # weight pytree into the HLO as constants); cfg is static.
         self._prefill = jax.jit(
-            dynamic.prefill, static_argnums=(1,), donate_argnums=(11,)
+            dynamic.prefill, static_argnums=(1,),
+            static_argnames=("all_have_image",), donate_argnums=(11,),
         )
         self._decode = jax.jit(
             dynamic.decode_step, static_argnums=(1,), donate_argnums=(3,)
         )
+        self._decode_chunks = {}  # n_steps -> jitted scan loop
+
+    def _decode_chunk_fn(self, n_steps: int):
+        """Jitted: sample+decode n_steps tokens on device, return the tokens.
+        The state (cache) is donated so XLA updates it in place."""
+        if n_steps in self._decode_chunks:
+            return self._decode_chunks[n_steps]
+        cfg, gc = self.cfg, self.gen_cfg
+
+        def chunk(params, state: dynamic.GenState, rng):
+            def body(carry, krng):
+                state = carry
+                tok = _sample(krng, state.last_logits, gc.temperature, gc.top_p)
+                state = dynamic.decode_step(params, cfg, tok, state)
+                return state, tok
+
+            state, toks = jax.lax.scan(
+                body, state, jax.random.split(rng, n_steps)
+            )
+            return state, toks  # toks: [n_steps, B]
+
+        fn = jax.jit(chunk, donate_argnums=(1,))
+        self._decode_chunks[n_steps] = fn
+        return fn
 
     def prefill_from_plan(self, plan: FusionPlan, pixel_values, max_new_tokens: int):
         cache_dtype = jnp.dtype(self.gen_cfg.cache_dtype)
+        all_have_image = pixel_values is not None and bool(
+            np.asarray(plan.spans.has_image).all()
+        )
         cache = dynamic.make_gen_cache(
             self.cfg, plan.batch, plan.seq_len, max_new_tokens, cache_dtype,
             bound_output_budget=self.gen_cfg.bound_kv_budget,
+            all_have_image=all_have_image,
+            bucket=self.gen_cfg.pad_multiple,
         )
         state, info = self._prefill(
             self.params, self.cfg,
@@ -90,6 +132,7 @@ class Generator:
             jnp.asarray(plan.spans.has_image),
             None if pixel_values is None else jnp.asarray(pixel_values),
             cache,
+            all_have_image=all_have_image,
         )
         return state, info
 
@@ -99,6 +142,8 @@ class Generator:
         pixel_values: Optional[np.ndarray] = None,  # [B, H, W, 3] normalized
         stopping_criteria=None,
         pad_to: Optional[int] = None,
+        seed: Optional[int] = None,
+        on_chunk=None,  # callback(sample_idx, new_token_ids) for streaming
     ) -> List[List[int]]:
         """Returns generated token ids (without the prompt) per sample."""
         gc = self.gen_cfg
@@ -107,32 +152,50 @@ class Generator:
             self.cfg.num_image_tokens if pixel_values is not None else 0,
             max_length=self.cfg.model_max_length,
             pad_to=pad_to,
+            pad_multiple=None if pad_to is not None else gc.pad_multiple,
         )
-        state, _ = self.prefill_from_plan(plan, pixel_values, gc.max_new_tokens)
+        chunk = max(1, min(gc.decode_chunk, gc.max_new_tokens))
+        # round the decode budget up to whole chunks so the cache has room
+        # for the overshoot of the final chunk
+        n_chunks = -(-gc.max_new_tokens // chunk)
+        state, _ = self.prefill_from_plan(plan, pixel_values, n_chunks * chunk)
 
         b = plan.batch
-        rng = jax.random.key(0)
+        rng = jax.random.key(gc.seed if seed is None else seed)
         done = np.zeros(b, bool)
         out: List[List[int]] = [[] for _ in range(b)]
-        tok = None
-        for step in range(gc.max_new_tokens):
+        prompts = [
+            list(np.asarray(plan.token_ids[i][: plan.valid_len[i]]))
+            for i in range(b)
+        ] if stopping_criteria is not None else None
+        decode_chunk = self._decode_chunk_fn(chunk)
+        for _ in range(n_chunks):
             rng, krng = jax.random.split(rng)
-            tok = _sample(krng, state.last_logits, gc.temperature, gc.top_p)
-            tok_np = np.asarray(tok)
+            state, toks = decode_chunk(self.params, state, krng)
+            toks_np = np.asarray(toks)  # [chunk, B] — ONE host sync per chunk
             for i in range(b):
-                if not done[i]:
-                    t = int(tok_np[i])
+                if done[i]:
+                    continue
+                fresh: List[int] = []
+                for j in range(toks_np.shape[0]):
+                    if len(out[i]) >= gc.max_new_tokens:
+                        done[i] = True
+                        break
+                    t = int(toks_np[j, i])
                     out[i].append(t)
+                    fresh.append(t)
                     if t == gc.eos_token_id:
                         done[i] = True
-                    elif stopping_criteria is not None and stopping_criteria(
-                        list(np.asarray(plan.token_ids[i][: plan.valid_len[i]]))
-                        + out[i]
+                        break
+                    if stopping_criteria is not None and stopping_criteria(
+                        prompts[i] + out[i]
                     ):
                         done[i] = True
-            if done.all() or step == gc.max_new_tokens - 1:
+                        break
+                if on_chunk is not None and fresh:
+                    on_chunk(i, fresh)
+            if done.all():
                 break
-            state = self._decode(self.params, self.cfg, tok, state)
         return out
 
     def generate_anyres(
@@ -169,9 +232,11 @@ class Generator:
             input_ids_list, 0, tokens_per_image_list=counts,
             max_length=self.cfg.model_max_length,
         )
+        chunk = max(1, min(gc.decode_chunk, gc.max_new_tokens))
+        n_chunks = -(-gc.max_new_tokens // chunk)
         cache = dynamic.make_gen_cache(
-            self.cfg, plan.batch, plan.seq_len, gc.max_new_tokens,
-            jnp.dtype(gc.cache_dtype),
+            self.cfg, plan.batch, plan.seq_len, n_chunks * chunk,
+            jnp.dtype(gc.cache_dtype), all_have_image=False,
         )
         state, _ = self._prefill(
             self.params, self.cfg,
@@ -186,20 +251,26 @@ class Generator:
         b = plan.batch
         out: List[List[int]] = [[] for _ in range(b)]
         done = np.zeros(b, bool)
-        rng = jax.random.key(0)
-        for step in range(gc.max_new_tokens):
+        rng = jax.random.key(gc.seed)
+        decode_chunk = self._decode_chunk_fn(chunk)
+        for _ in range(n_chunks):
             rng, krng = jax.random.split(rng)
-            tok = _sample(krng, state.last_logits, gc.temperature, gc.top_p)
-            tok_np = np.asarray(tok)
+            state, toks = decode_chunk(self.params, state, krng)
+            toks_np = np.asarray(toks)
             for i in range(b):
-                if not done[i]:
-                    t = int(tok_np[i])
+                if done[i]:
+                    continue
+                for j in range(toks_np.shape[0]):
+                    if len(out[i]) >= gc.max_new_tokens:
+                        done[i] = True
+                        break
+                    t = int(toks_np[j, i])
                     out[i].append(t)
                     if t == gc.eos_token_id:
                         done[i] = True
-            if done.all() or step == gc.max_new_tokens - 1:
+                        break
+            if done.all():
                 break
-            state = self._decode(self.params, self.cfg, tok, state)
         return out
 
     def cache_lengths(self, state: dynamic.GenState) -> np.ndarray:
@@ -249,26 +320,35 @@ class ChatSession:
                 plan, pixel_values, self.budget
             )
         else:
-            chunk = jnp.asarray(np.asarray(input_ids, np.int64)[None])
+            ids = np.asarray(input_ids, np.int64)
+            # the pre tier persists every chunk token; overflow would trip
+            # the in-graph capacity clamp and silently shorten history
+            pre_room = self.state.cache.pre.max_len - 1 - int(
+                np.asarray(self.state.cache.pre.length).max()
+            )
+            if len(ids) > pre_room:
+                raise ValueError(
+                    f"chunk of {len(ids)} tokens exceeds remaining cache "
+                    f"capacity {pre_room}; raise max_new_tokens_total"
+                )
             self.state = self._continue(
-                self.gen.params, self.gen.cfg, chunk, self.state
+                self.gen.params, self.gen.cfg, jnp.asarray(ids[None]), self.state
             )
 
         out: List[int] = []
         for _ in range(max_new):
             tok = int(np.argmax(np.asarray(self.state.last_logits[0])))
+            # every emitted token is fed through decode — including the one
+            # that trips EOS or a stopping criterion — so the live cache
+            # stays aligned with the visible conversation for later rounds
+            self.state = self.gen._decode(
+                self.gen.params, self.gen.cfg, jnp.asarray([tok]), self.state
+            )
             if tok == gc.eos_token_id:
-                # feed EOS through so the cache stays aligned with history
-                self.state = self.gen._decode(
-                    self.gen.params, self.gen.cfg, jnp.asarray([tok]), self.state
-                )
                 break
             out.append(tok)
             if stopping_criteria is not None and stopping_criteria(out):
                 break
-            self.state = self.gen._decode(
-                self.gen.params, self.gen.cfg, jnp.asarray([tok]), self.state
-            )
         return out
 
     def cache_lengths(self) -> np.ndarray:

@@ -43,7 +43,6 @@ from ..ops.kv_cache import (
 from ..ops.sparsify import (
     gather_tokens,
     plan_compaction,
-    remap_span_starts,
     topk_keep_mask,
 )
 from . import clip, llama, projector
@@ -136,12 +135,20 @@ def prefill(
     pixel_values: Optional[jax.Array],  # [B, H, W, 3] or None (text-only)
     cache: TieredCache,
     image_features: Optional[jax.Array] = None,  # [B, N_pad, D] pre-encoded
+    all_have_image: bool = False,
 ) -> Tuple[GenState, PrefillInfo]:
     """``image_features`` bypasses the in-graph tower for pre-encoded inputs
     (anyres tiling produces per-sample token counts the planner already
     encodes in ``plan_image_slot``; the vision predictor's fixed-span top-k
     assumes the standard tower, so use features only with predictors off —
-    matching the reference, where anyres exists on the dense path only)."""
+    matching the reference, where anyres exists on the dense path only).
+
+    ``all_have_image`` is a static (host-known) promise that every sample in
+    the batch has exactly one image. Only then may the compacted sequence be
+    truncated to ``S - N_img + K``: a text-only sample keeps all its tokens
+    (reference mixed-batch handling, dynamic_llava_arch.py:372-388), so in a
+    mixed batch the safe bound is the full length S. The planner knows this
+    host-side (``plan.spans.has_image``); callers pass it through."""
     tcfg, sparse = cfg.text, cfg.sparse
     b, s = plan_token_ids.shape
     n_img = cfg.num_image_tokens
@@ -185,7 +192,8 @@ def prefill(
             (has_image[:, None]) & plan_is_image, img_keep, keep
         )
         image_keep = img_keep
-        out_len = s - n_img + k_budget
+        if all_have_image:
+            out_len = s - n_img + k_budget
 
     if sparse.use_instruct_predictor:
         # E2: threshold prune of the last-instruct span; the final token of
@@ -214,6 +222,10 @@ def prefill(
     if x.shape[1] > post_cap:
         x = x[:, :post_cap]
         new_positions = new_positions[:, :post_cap]
+    # defensive invariant: the last-token gather (and the cache length) must
+    # stay within the materialized sequence even if a caller undersized the
+    # post tier for this batch pattern
+    new_valid = jnp.minimum(new_valid, x.shape[1])
     res2 = llama.run_layers_prefill(
         params["llm"], tcfg, x, new_positions, cache.post, new_valid,
         lo=sl, hi=tcfg.num_hidden_layers,
@@ -246,7 +258,7 @@ def prefill_continue(
     predictor on, chunk tokens are threshold-pruned before persisting into
     the sparse tier — the final token is always kept."""
     tcfg, sparse = cfg.text, cfg.sparse
-    b, m = token_ids.shape
+    m = token_ids.shape[1]
     sl = sparse.sparse_layer
 
     x = llama.embed_tokens(params["llm"], token_ids)
@@ -256,22 +268,22 @@ def prefill_continue(
         params["llm"], tcfg, x, positions, state.cache.pre, lo=0, hi=sl
     )
     x = d1.x
-    cache_pre = d1.cache._replace(length=d1.cache.length + m)
+    # kept counts come from the layer runner: they reflect its capacity
+    # clamp, so lengths never advance past what was actually persisted
+    cache_pre = d1.cache._replace(length=d1.cache.length + d1.kept[None, :])
 
     keep = None
-    kept = jnp.full((b,), m, jnp.int32)
     if sparse.use_instruct_predictor:
         tp = text_predictor(params["predictors"]["instruct_score_predictor"], x)
         keep = tp[..., 0] > tp[..., 1]
         keep = keep.at[:, -1].set(True)  # last token forced keep
-        kept = jnp.sum(keep, axis=1).astype(jnp.int32)
 
     d2 = llama.run_layers_extend(
         params["llm"], tcfg, x, positions, state.cache.post,
         lo=sl, hi=tcfg.num_hidden_layers, keep=keep,
     )
     x = d2.x
-    cache_post = d2.cache._replace(length=d2.cache.length + kept[None, :])
+    cache_post = d2.cache._replace(length=d2.cache.length + d2.kept[None, :])
 
     logits = llama.lm_head(params["llm"], tcfg, x[:, -1:])[:, 0]
     return GenState(
@@ -547,7 +559,9 @@ def forward_train(
 
 def gen_cache_sizes(cfg: LlavaConfig, prompt_len: int, max_new_tokens: int,
                     margin: int = 8,
-                    bound_output_budget: bool = True) -> Tuple[int, int]:
+                    bound_output_budget: bool = True,
+                    all_have_image: bool = True,
+                    bucket: int = 1) -> Tuple[int, int]:
     """Static cache capacities: the pre tier holds everything; the post tier
     is sized by the pruned prefill budget + decode headroom. This is where
     the image-token pruning (576 -> ~115) turns into a smaller buffer — and
@@ -556,11 +570,17 @@ def gen_cache_sizes(cfg: LlavaConfig, prompt_len: int, max_new_tokens: int,
     With ``bound_output_budget`` the decode headroom is
     ``keep_rate * max_new + margin`` (+1 scratch slot): the statistically
     expected KV footprint of the output-text sparsifier, enforced exactly by
-    the forced-drop-when-full rule in ``decode_step``."""
+    the forced-drop-when-full rule in ``decode_step``.
+
+    ``all_have_image`` must be False for batches that may contain text-only
+    samples — those keep all prompt tokens, so the post tier cannot be
+    shrunk by the vision-prune budget. ``bucket`` rounds both capacities up
+    to a multiple, so distinct prompt lengths share one compiled decode
+    program (remote TPU compiles take minutes; see eval harness note)."""
     pre = prompt_len + max_new_tokens + margin
     sparse = cfg.sparse
     post_prefill = prompt_len
-    if sparse.use_vision_predictor:
+    if sparse.use_vision_predictor and all_have_image:
         n_img = cfg.num_image_tokens
         post_prefill = prompt_len - n_img + sparse.vision_keep_budget(n_img)
     decode_headroom = max_new_tokens
@@ -569,16 +589,21 @@ def gen_cache_sizes(cfg: LlavaConfig, prompt_len: int, max_new_tokens: int,
             max_new_tokens * sparse.output_text_keep_rate
         ) + margin
     post = post_prefill + decode_headroom + margin + 1
+    if bucket > 1:
+        pre = -(-pre // bucket) * bucket
+        post = -(-post // bucket) * bucket
     return pre, post
 
 
 def make_gen_cache(
     cfg: LlavaConfig, batch: int, prompt_len: int, max_new_tokens: int,
     dtype=jnp.bfloat16, bound_output_budget: bool = True,
+    all_have_image: bool = True, bucket: int = 1,
 ) -> TieredCache:
     pre, post = gen_cache_sizes(
         cfg, prompt_len, max_new_tokens,
         bound_output_budget=bound_output_budget,
+        all_have_image=all_have_image, bucket=bucket,
     )
     return init_tiered_cache(
         cfg.text, cfg.sparse.sparse_layer, batch, pre, post, dtype

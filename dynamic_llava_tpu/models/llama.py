@@ -255,6 +255,7 @@ def run_layers_prefill(
 class DecodeResult(NamedTuple):
     x: jax.Array  # [B, 1, D]
     cache: KVCache  # K/V written at current slots; lengths NOT yet advanced
+    kept: Optional[jax.Array] = None  # [B] persisted-token count (extend only)
 
 
 def run_layers_decode(
@@ -325,25 +326,33 @@ def run_layers_extend(
     (causal within the chunk); only ``keep``-marked tokens are scattered into
     the cache, compacted to slots [len, len+n_kept). Dropped tokens land in
     the reserved scratch slot (max_len-1), which sits beyond the valid
-    region and is never persisted. Lengths are advanced by the caller.
+    region and is never persisted. Kept tokens that would overflow the
+    remaining capacity are force-dropped (same rule as ``decode_step``) —
+    otherwise JAX's silent OOB-scatter-drop would leave never-written slots
+    inside the attended region. Lengths are advanced by the caller using the
+    returned ``kept`` counts.
     """
     hi = cfg.num_hidden_layers if hi is None else hi
     assert cache.num_layers == hi - lo
-    if hi == lo:
-        return DecodeResult(x=x, cache=cache)
-    layers = params["layers"]
     b, m, _ = x.shape
+    if hi == lo:
+        return DecodeResult(x=x, cache=cache, kept=jnp.zeros((b,), jnp.int32))
+    layers = params["layers"]
     max_len = cache.max_len
     length0 = cache.length[0]  # [B] shared across the tier
     if keep is None:
         keep_i = jnp.ones((b, m), jnp.int32)
     else:
         keep_i = keep.astype(jnp.int32)
-    # compacted target slot per chunk token; dropped -> scratch slot
+    # compacted target slot per chunk token; earlier tokens' offsets are
+    # unaffected by zeroing later ones, so clamping after the cumsum is exact
     offsets = jnp.cumsum(keep_i, axis=1) - 1
+    remaining = jnp.maximum(max_len - 1 - length0, 0)  # slot max_len-1 = scratch
+    keep_i = keep_i * (offsets < remaining[:, None]).astype(jnp.int32)
     target = jnp.where(
         keep_i > 0, length0[:, None] + offsets, max_len - 1
     ).astype(jnp.int32)
+    kept = jnp.sum(keep_i, axis=1).astype(jnp.int32)
     batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
 
     # mask: [B, 1, M, max_len + M] — cache cols by length, chunk cols causal
@@ -380,7 +389,9 @@ def run_layers_extend(
         return (x, ck, cv), None
 
     (x, ck, cv), _ = jax.lax.scan(body, (x, cache.k, cache.v), layer_ids)
-    return DecodeResult(x=x, cache=KVCache(k=ck, v=cv, length=cache.length))
+    return DecodeResult(
+        x=x, cache=KVCache(k=ck, v=cv, length=cache.length), kept=kept
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -192,11 +192,14 @@ def plan_batch(
     pad_to: Optional[int] = None,
     user_tokens: Sequence[int] = VICUNA_USER_TOKENS,
     tokens_per_image_list: Optional[List[Sequence[int]]] = None,
+    pad_multiple: Optional[int] = None,
 ) -> FusionPlan:
     """Right-padded batch plan (reference pads right for training and
     computes per-sample index shifts; our plan is already per-slot so no
     shifting is needed). ``tokens_per_image_list`` supplies variable
-    per-image token counts (anyres tiling)."""
+    per-image token counts (anyres tiling). ``pad_multiple`` rounds the
+    padded length up to a bucket so nearby prompt lengths share one compiled
+    program (ignored when ``pad_to`` is given)."""
     if labels_list is None:
         labels_list = [None] * len(input_ids_list)
     if tokens_per_image_list is None:
@@ -210,6 +213,8 @@ def plan_batch(
     b = len(rows)
     lens = [len(r[0]) for r in rows]
     s = pad_to or max(lens)
+    if pad_to is None and pad_multiple and pad_multiple > 1:
+        s = -(-s // pad_multiple) * pad_multiple
     assert max(lens) <= s, f"pad_to={s} < max fused len {max(lens)}"
 
     token_ids = np.zeros((b, s), np.int32)

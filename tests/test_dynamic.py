@@ -259,3 +259,78 @@ def test_forward_train_gumbel_masks():
     assert (im[~sp] == 1.0).all()
     g = grads["predictors"]["image_score_predictor"]["down"]["w"]
     assert np.abs(np.asarray(g)).sum() > 0, "no gradient reached the vision predictor"
+
+
+def test_mixed_batch_text_only_sample_not_truncated():
+    """A text-only sample batched with an image sample keeps ALL its tokens:
+    the compaction bound may not assume every sample sheds N_img - K tokens
+    (reference mixed-batch handling, dynamic_llava_arch.py:372-388)."""
+    cfg = _tiny_cfg(use_vision_predictor=True, vision_keep_rate=0.25)
+    params = _params(cfg)
+    rng = np.random.default_rng(0)
+    n_img = cfg.num_image_tokens
+    # text-only prompt longer than padded_len - n_img + budget: under the
+    # all-image truncation bound its tail would be dropped
+    long_text = rng.integers(
+        3, cfg.text.vocab_size, size=(n_img + 12,)
+    ).astype(np.int64)
+    img_ids = rng.integers(3, cfg.text.vocab_size, size=(8,)).astype(np.int64)
+    img_ids[2] = -200
+    plan = plan_batch([long_text, img_ids], n_img)
+    assert not plan.spans.has_image[0] and plan.spans.has_image[1]
+    imgs = rng.normal(
+        size=(2, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+
+    def run(c):
+        pre, post = dynamic.gen_cache_sizes(
+            c, plan.seq_len, 8, all_have_image=False
+        )
+        cache = init_tiered_cache(
+            c.text, c.sparse.sparse_layer, plan.batch, pre, post, jnp.float32
+        )
+        return dynamic.prefill(
+            params, c,
+            jnp.asarray(plan.token_ids), jnp.asarray(plan.is_image),
+            jnp.asarray(plan.image_slot), jnp.asarray(plan.valid_len),
+            jnp.asarray(plan.spans.image_start),
+            jnp.asarray(plan.spans.last_instruct_start),
+            jnp.asarray(plan.spans.last_instruct_end),
+            jnp.asarray(plan.spans.has_image),
+            jnp.asarray(imgs), cache, all_have_image=False,
+        )
+
+    state, info = run(cfg)
+    # text-only sample: nothing pruned
+    assert int(info.new_length[0]) == int(plan.valid_len[0])
+    # image sample: image span pruned to budget
+    budget = cfg.sparse.vision_keep_budget(n_img)
+    assert int(info.new_length[1]) == int(plan.valid_len[1]) - n_img + budget
+
+    # the text-only sample's logits must match a predictors-off run of the
+    # same batch bit-for-bit in value (pruning another sample is irrelevant)
+    state_d, _ = run(_tiny_cfg())
+    np.testing.assert_allclose(
+        np.asarray(state.last_logits[0]), np.asarray(state_d.last_logits[0]),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_extend_capacity_clamp():
+    """run_layers_extend force-drops kept tokens beyond remaining capacity
+    instead of letting OOB scatters silently corrupt the cache."""
+    from dynamic_llava_tpu.ops.kv_cache import init_cache
+
+    cfg = _tiny_cfg()
+    tcfg = cfg.text
+    params = _params(cfg)
+    b, m, cap = 2, 6, 8
+    cache = init_cache(tcfg, b, cap, jnp.float32)
+    # pre-fill 4 slots: remaining room = cap - 1 - 4 = 3 < m
+    cache = cache._replace(length=jnp.full_like(cache.length, 4))
+    x = jax.random.normal(jax.random.key(0), (b, m, tcfg.hidden_size))
+    positions = jnp.broadcast_to(jnp.arange(4, 4 + m, dtype=jnp.int32)[None], (b, m))
+    d = llama.run_layers_extend(params["llm"], tcfg, x, positions, cache)
+    assert np.asarray(d.kept).tolist() == [3, 3]
+    new_len = d.cache.length + d.kept[None, :]
+    assert int(np.asarray(new_len).max()) == cap - 1  # scratch slot untouched
