@@ -65,6 +65,10 @@ class ModelWorker:
         ) = load_pretrained_model(model_path, model_base, self.model_name)
         self.semaphore = None
         self.global_counter = 0
+        # Generators (and their jitted prefill/decode-chunk programs) are
+        # cached per sampling config: rebuilding one per request would
+        # re-trace and re-compile the decode loop every call
+        self._generators: dict = {}
 
         if not no_register:
             self.register_to_controller()
@@ -163,54 +167,76 @@ class ModelWorker:
             else None
         )
 
-        gen = Generator(
-            runtime.params,
-            runtime.cfg,
-            GenerationConfig(
-                max_new_tokens=max_new_tokens,
-                temperature=temperature,
-                top_p=top_p,
-                eos_token_id=tokenizer.eos_token_id,
-            ),
-        )
+        gen_key = (round(temperature, 4), round(top_p, 4))
+        gen = self._generators.get(gen_key)
+        if gen is None:
+            gen = Generator(
+                runtime.params,
+                runtime.cfg,
+                GenerationConfig(
+                    temperature=temperature,
+                    top_p=top_p,
+                    eos_token_id=tokenizer.eos_token_id,
+                ),
+            )
+            self._generators[gen_key] = gen
 
-        # incremental decode: stream partial text every few tokens
-        generated: list = []
+        # decode runs on device in decode_chunk-step scans (the same fast
+        # path bench.py measures); the host syncs once per chunk to stream
+        # partial text and resolve stop conditions
+        import jax
+
         from ..multimodal.fusion import plan_batch
 
-        import jax.numpy as jnp
-
+        gc = gen.gen_cfg
+        chunk = max(1, min(gc.decode_chunk, max_new_tokens))
+        n_chunks = -(-max_new_tokens // chunk)
         plan = plan_batch(
             [input_ids],
             runtime.cfg.num_image_tokens if pixels is not None else 0,
             max_length=runtime.cfg.model_max_length,
+            pad_multiple=gc.pad_multiple,
         )
-        state, _ = gen.prefill_from_plan(plan, pixels, max_new_tokens)
-        for step in range(max_new_tokens):
-            tok = int(np.argmax(np.asarray(state.last_logits[0])))
-            if temperature > 1e-4:
-                import jax
+        state, _ = gen.prefill_from_plan(plan, pixels, n_chunks * chunk)
+        decode_chunk = gen._decode_chunk_fn(chunk)
+        rng = jax.random.key(self.global_counter)
 
-                logits = jnp.asarray(state.last_logits) / temperature
-                tok = int(
-                    jax.random.categorical(
-                        jax.random.key(self.global_counter + step), logits
-                    )[0]
-                )
-            if tok == tokenizer.eos_token_id:
+        generated: list = []
+        eos = tokenizer.eos_token_id
+        done = False
+        for _ in range(n_chunks):
+            rng, krng = jax.random.split(rng)
+            state, toks = decode_chunk(gen.params, state, krng)
+            toks_np = np.asarray(toks)[:, 0]  # one host sync per chunk
+            text = None
+            for t in toks_np:
+                t = int(t)
+                if t == eos or len(generated) >= max_new_tokens:
+                    done = True
+                    break
+                generated.append(t)
+                if stop_str or stopping is not None:
+                    text = tokenizer.decode(generated, skip_special_tokens=True)
+                    if stop_str and text.endswith(stop_str):
+                        generated_text = text[: -len(stop_str)]
+                        yield json.dumps(
+                            {"text": prompt + generated_text, "error_code": 0}
+                        ).encode() + b"\0"
+                        done = True
+                        break
+                    if stopping is not None and stopping(list(input_ids) + generated):
+                        done = True
+                        break
+            if not done:
+                text = tokenizer.decode(generated, skip_special_tokens=True)
+                yield json.dumps(
+                    {"text": prompt + text, "error_code": 0}
+                ).encode() + b"\0"
+            if done:
                 break
-            generated.append(tok)
-            text = tokenizer.decode(generated, skip_special_tokens=True)
-            if stop_str and text.endswith(stop_str):
-                text = text[: -len(stop_str)]
-                yield json.dumps({"text": prompt + text, "error_code": 0}).encode() + b"\0"
-                break
-            if step % 4 == 0 or step == max_new_tokens - 1:
-                yield json.dumps({"text": prompt + text, "error_code": 0}).encode() + b"\0"
-            if stopping is not None and stopping(list(input_ids) + generated):
-                break
-            state = gen._decode(gen.params, gen.cfg, jnp.asarray([tok]), state)
         text = tokenizer.decode(generated, skip_special_tokens=True)
+        if stop_str and text.endswith(stop_str):
+            text = text[: -len(stop_str)]
         yield json.dumps({"text": prompt + text, "error_code": 0}).encode() + b"\0"
 
     def generate_stream_gate(self, params: dict):

@@ -53,6 +53,7 @@ class BatchedWorker:
         self.max_batch = max_batch
         self.batch_window_ms = batch_window_ms
         self.pending: List[Request] = []
+        self._generators: dict = {}  # (max_new, temperature) -> Generator
         self.lock = threading.Lock()
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
@@ -109,14 +110,18 @@ class BatchedWorker:
                     min(int(r.params.get("max_new_tokens", 256)), 1024)
                     for r in batch
                 )
-                gen = Generator(
-                    self.runtime.params, self.runtime.cfg,
-                    GenerationConfig(
-                        max_new_tokens=max_new,
-                        temperature=float(batch[0].params.get("temperature", 0.0)),
-                        eos_token_id=self.tokenizer.eos_token_id,
-                    ),
-                )
+                temp = float(batch[0].params.get("temperature", 0.0))
+                gen = self._generators.get((max_new, temp))
+                if gen is None:
+                    gen = Generator(
+                        self.runtime.params, self.runtime.cfg,
+                        GenerationConfig(
+                            max_new_tokens=max_new,
+                            temperature=temp,
+                            eos_token_id=self.tokenizer.eos_token_id,
+                        ),
+                    )
+                    self._generators[(max_new, temp)] = gen
                 outs = gen.generate(ids_list, np.stack(pixels_list))
                 for req, out_ids in zip(batch, outs):
                     if out_ids and out_ids[-1] == self.tokenizer.eos_token_id:
