@@ -76,6 +76,12 @@ def _cfg(name: str):
 CONFIGS = {
     "7b": dict(model="7b", batch=1, new_tokens=64, text_len=64),
     "serving": dict(model="1b", batch=32, new_tokens=512, text_len=64),
+    # flagship KV-bound regime (VERDICT r1 #2): 7B int8 weights (6.75 GB)
+    # leave room for a batched dense KV on the 16 GB chip, so the sparse/
+    # dense ratio reflects cache bandwidth, not weight streaming
+    "7b_batch": dict(
+        model="7b", batch=8, new_tokens=512, text_len=64, quant="int8"
+    ),
 }
 
 
@@ -189,6 +195,8 @@ def run_full():
             BENCH_MODEL=c["model"], BENCH_BATCH=str(c["batch"]),
             BENCH_TOKENS=str(c["new_tokens"]), BENCH_TEXT=str(c["text_len"]),
         )
+        if c.get("quant"):
+            env["BENCH_QUANT"] = c["quant"]
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, timeout=3000,
@@ -202,9 +210,13 @@ def run_full():
         )
 
     detail = {}
-    for name in ("serving", "7b"):
-        sparse = run_arm(name, "sparse")
-        dense = run_arm(name, "dense")
+    for name in ("serving", "7b", "7b_batch"):
+        try:
+            sparse = run_arm(name, "sparse")
+            dense = run_arm(name, "dense")
+        except Exception as e:  # an arm OOM/timeout must not sink the bench
+            detail[name] = {"config": CONFIGS[name], "error": str(e)[-800:]}
+            continue
         detail[name] = {
             "config": CONFIGS[name],
             "sparse": sparse,
@@ -213,12 +225,17 @@ def run_full():
             "ttft_speedup": round(dense["ttft_ms"] / sparse["ttft_ms"], 4),
         }
 
-    serving = detail["serving"]
+    # headline: the flagship 7B batched KV-bound regime when it ran; the
+    # 1B-proxy serving arm (one v5e-8 shard of the sharded 7B) otherwise
+    if "decode_speedup" in detail.get("7b_batch", {}):
+        head, name = detail["7b_batch"], "decode_tok_s_sparse_7b_int8_b8"
+    else:
+        head, name = detail["serving"], "serving_decode_tok_s_sparse_1b_proxy_b32"
     print(json.dumps({
-        "metric": "serving_decode_tok_s_sparse_1b_proxy_b32",
-        "value": round(serving["sparse"]["decode_tok_s"], 2),
+        "metric": name,
+        "value": round(head["sparse"]["decode_tok_s"], 2),
         "unit": "tok/s",
-        "vs_baseline": serving["decode_speedup"],
+        "vs_baseline": head["decode_speedup"],
         "detail": detail,
     }))
 

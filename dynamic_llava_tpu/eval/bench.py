@@ -57,6 +57,23 @@ def make_decode_many(cfg: LlavaConfig, n_steps: int):
     return jax.jit(decode_many, donate_argnums=(1,))
 
 
+def _measured_memory(params, compiled_programs, tag_points):
+    """Reference peak-minus-model protocol from measured sources (see
+    profiling.py): live buffers + the largest XLA program temp."""
+    from ..profiling import GB, memory_report
+
+    rep = memory_report(
+        model_params=params, compiled_programs=compiled_programs
+    )
+    rep.update({k: round(v / GB, 4) for k, v in tag_points.items()})
+    # reference semantics: activation/cache = peak minus model memory
+    if "model_bytes_gb" in rep:
+        rep["peak_minus_model_gb"] = round(
+            rep["peak_est_gb"] - rep["model_bytes_gb"], 4
+        )
+    return rep
+
+
 def bench_config(
     params,
     cfg: LlavaConfig,
@@ -90,11 +107,19 @@ def bench_config(
             cfg, plan.batch, plan.seq_len, new_tokens, cache_dtype
         )
 
-    prefill_jit = jax.jit(prefill_fn, donate_argnums=(1,))
+    # AOT-compile so the compiled handles stay available for XLA memory
+    # analysis (the tunnel's device.memory_stats() is None — profiling.py)
+    cache0 = fresh_cache()
+    prefill_jit = jax.jit(prefill_fn, donate_argnums=(1,)).lower(
+        params, cache0, *args, imgs
+    ).compile()
     # ONE cache allocation for the whole benchmark: every call donates the
     # buffers back in (prefill rewrites slot 0 and resets lengths), so the
     # 7B run never fragments the <2.3 GB of HBM left next to the weights
-    state = jax.block_until_ready(prefill_jit(params, fresh_cache(), *args, imgs))
+    state = jax.block_until_ready(prefill_jit(params, cache0, *args, imgs))
+    from ..profiling import live_device_bytes
+
+    live_after_prefill = live_device_bytes()
 
     times = []
     tok0 = args[0]
@@ -108,9 +133,12 @@ def bench_config(
         times.append(time.perf_counter() - t0)
     ttft_ms = float(np.median(times) * 1e3)
 
-    decode_many = make_decode_many(cfg, new_tokens)
-    state2, _ = jax.block_until_ready(decode_many(params, state))  # compile+run
+    decode_many = make_decode_many(cfg, new_tokens).lower(
+        params, state
+    ).compile()
+    state2, _ = jax.block_until_ready(decode_many(params, state))  # warm run
     post_len = float(np.mean(np.asarray(state2.cache.post.length)))
+    live_after_decode = live_device_bytes()
     # re-prefill (recycling the decoded state's buffers) and time decode
     state = jax.block_until_ready(prefill_jit(params, state2.cache, *args, imgs))
     t0 = time.perf_counter()
@@ -118,15 +146,14 @@ def bench_config(
     dt = time.perf_counter() - t0
     decode_tok_s = batch * new_tokens / dt
 
-    mem = {}
-    try:
-        stats = jax.local_devices()[0].memory_stats() or {}
-        mem = {
-            "bytes_in_use_gb": round(stats.get("bytes_in_use", 0) / 2**30, 3),
-            "peak_bytes_gb": round(stats.get("peak_bytes_in_use", 0) / 2**30, 3),
-        }
-    except Exception:
-        pass
+    mem = _measured_memory(
+        params,
+        {"prefill": prefill_jit, "decode": decode_many},
+        {
+            "live_after_prefill_gb": live_after_prefill,
+            "live_after_decode_gb": live_after_decode,
+        },
+    )
     return {
         **mem,
         "ttft_ms": ttft_ms,

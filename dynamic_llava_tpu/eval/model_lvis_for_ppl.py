@@ -22,7 +22,6 @@ def teacher_forced_ppl(
     runtime, tokenizer, input_ids: np.ndarray, answer_ids: List[int],
     pixel_values, max_new: int = 1024,
 ) -> Dict:
-    import jax
     import jax.numpy as jnp
 
     from ..generation.generate import Generator, GenerationConfig
@@ -45,12 +44,11 @@ def teacher_forced_ppl(
 
     out_pre = int(np.asarray(state.cache.pre.length)[0, 0])
     out_post = int(np.asarray(state.cache.post.length)[-1, 0])
-    mem = {}
-    try:
-        stats = jax.local_devices()[0].memory_stats() or {}
-        mem["peak_bytes_gb"] = round(stats.get("peak_bytes_in_use", 0) / 2**30, 3)
-    except Exception:
-        pass
+    # measured memory (live buffers + model split) — the tunnel's
+    # memory_stats() is None, so this uses the profiling fallbacks
+    from ..profiling import memory_report
+
+    mem = memory_report(model_params=runtime.params)
     return {
         "ppl": float(np.exp(np.mean(nll))),
         "prefill_cache_length": prefill_post,

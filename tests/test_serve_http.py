@@ -152,3 +152,46 @@ def test_model_worker_streams_fast_decode_path(tmp_path):
         out = out[:-1]
     ref_text = w.tokenizer.decode(out, skip_special_tokens=True)
     assert worker_text == ref_text
+
+
+def test_gradio_http_bot_flow(tmp_path, monkeypatch):
+    """Exercise the web server's request flow (controller -> worker ->
+    streamed state updates) without the gradio UI layer."""
+    monkeypatch.chdir(tmp_path)  # conv log lands in tmp
+    from dynamic_llava_tpu.conversation import default_conversation
+    from dynamic_llava_tpu.serve.controller import Controller
+    from dynamic_llava_tpu.serve.gradio_web_server import (
+        get_model_list,
+        http_bot,
+    )
+    from dynamic_llava_tpu.serve.http_compat import (
+        controller_stdlib_app,
+        worker_stdlib_app,
+    )
+
+    cport, wport = _free_port(), _free_port()
+    ctrl = Controller("shortest_queue")
+    csrv = controller_stdlib_app(ctrl, "127.0.0.1", cport)
+    csrv.serve(background=True)
+    wsrv = worker_stdlib_app(_EchoWorker(), "127.0.0.1", wport)
+    wsrv.serve(background=True)
+    time.sleep(0.3)
+    base = f"http://127.0.0.1:{cport}"
+    requests.post(base + "/register_worker", json={
+        "worker_name": f"http://127.0.0.1:{wport}",
+        "check_heart_beat": False, "worker_status": None,
+    })
+
+    assert get_model_list(base) == ["echo"]
+
+    state = default_conversation.copy()
+    state.append_message(state.roles[0], "hello")
+    state.append_message(state.roles[1], None)
+    updates = list(http_bot(state, "echo", 0.0, 1.0, 16, base))
+    assert len(updates) >= 2
+    final = updates[-1].messages[-1][-1]
+    assert isinstance(final, str) and not final.endswith("▌")
+    assert "error_code" not in final
+
+    csrv.shutdown()
+    wsrv.shutdown()
