@@ -1,7 +1,11 @@
-"""POPE yes/no scorer (reference /root/reference/llava/dynamic_eval/eval_pope.py).
+"""POPE yes/no scorer.
 
-Computes TP/FP/TN/FN, precision/recall/F1, accuracy and yes-ratio per POPE
-category file.
+Implements the POPE protocol (reference
+/root/reference/llava/dynamic_eval/eval_pope.py): map free-form answers to
+yes/no, then report the confusion matrix, precision/recall/F1, accuracy and
+yes-ratio per POPE category (adversarial / popular / random). The answer
+normalization and metric definitions are the benchmark's spec; the
+harness below is this repo's own.
 """
 
 from __future__ import annotations
@@ -9,59 +13,60 @@ from __future__ import annotations
 import argparse
 import json
 import os
+from typing import Dict, Iterable, List
 
 
-def eval_pope(answers, label_file):
-    label_list = [json.loads(q)["label"] for q in open(label_file)]
+def normalize_answer(text: str) -> str:
+    """POPE decision rule: look at the first sentence; any of the words
+    'no'/'No'/'not' makes it a no, anything else is a yes."""
+    first_sentence = text.split(".")[0].replace(",", "")
+    words = set(first_sentence.split(" "))
+    return "no" if words & {"no", "No", "not"} else "yes"
 
-    for answer in answers:
-        text = answer["text"]
-        # answers beginning with "no" count as no; anything else yes
-        if text.find(".") != -1:
-            text = text.split(".")[0]
-        text = text.replace(",", "")
-        words = text.split(" ")
-        if "No" in words or "not" in words or "no" in words:
-            answer["text"] = "no"
-        else:
-            answer["text"] = "yes"
 
-    for i in range(len(label_list)):
-        if label_list[i] == "no":
-            label_list[i] = 0
-        else:
-            label_list[i] = 1
+def score_pope(pred_texts: Iterable[str], labels: Iterable[str]) -> Dict:
+    """Confusion-matrix metrics over normalized predictions ('yes' = the
+    positive class)."""
+    preds = [normalize_answer(t) == "yes" for t in pred_texts]
+    truth = [label == "yes" for label in labels]
+    if len(preds) != len(truth):
+        raise ValueError(f"{len(preds)} predictions vs {len(truth)} labels")
 
-    pred_list = [0 if a["text"] == "no" else 1 for a in answers]
+    tp = sum(p and t for p, t in zip(preds, truth))
+    fp = sum(p and not t for p, t in zip(preds, truth))
+    tn = sum(not p and not t for p, t in zip(preds, truth))
+    fn = sum(not p and t for p, t in zip(preds, truth))
 
-    pos, neg = 1, 0
-    yes_ratio = pred_list.count(1) / len(pred_list)
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    return {
+        "tp": tp, "fp": fp, "tn": tn, "fn": fn,
+        "accuracy": (tp + tn) / len(preds) if preds else 0.0,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+        "yes_ratio": sum(preds) / len(preds) if preds else 0.0,
+    }
 
-    TP = FP = TN = FN = 0
-    for pred, label in zip(pred_list, label_list):
-        if pred == pos and label == pos:
-            TP += 1
-        elif pred == pos and label == neg:
-            FP += 1
-        elif pred == neg and label == neg:
-            TN += 1
-        else:
-            FN += 1
 
-    print(f"TP\tFP\tTN\tFN\t")
-    print(f"{TP}\t{FP}\t{TN}\t{FN}")
-    precision = float(TP) / float(TP + FP) if TP + FP else 0.0
-    recall = float(TP) / float(TP + FN) if TP + FN else 0.0
-    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
-    acc = (TP + TN) / (TP + TN + FP + FN)
-    print(f"Accuracy: {acc}")
-    print(f"Precision: {precision}")
-    print(f"Recall: {recall}")
-    print(f"F1 score: {f1}")
-    print(f"Yes ratio: {yes_ratio}")
-    print("%.3f, %.3f, %.3f, %.3f, %.3f" % (f1, acc, precision, recall, yes_ratio))
-    return {"f1": f1, "accuracy": acc, "precision": precision, "recall": recall,
-            "yes_ratio": yes_ratio}
+def report(metrics: Dict) -> None:
+    print(f"TP {metrics['tp']}  FP {metrics['fp']}  "
+          f"TN {metrics['tn']}  FN {metrics['fn']}")
+    for key in ("accuracy", "precision", "recall", "f1", "yes_ratio"):
+        print(f"{key}: {metrics[key]}")
+    print(", ".join("%.3f" % metrics[k]
+                    for k in ("f1", "accuracy", "precision", "recall",
+                              "yes_ratio")))
+
+
+def eval_pope(answers: List[Dict], label_file: str) -> Dict:
+    """Score one category's answers against its annotation file."""
+    labels = [json.loads(line)["label"] for line in open(label_file)]
+    metrics = score_pope((a["text"] for a in answers), labels)
+    report(metrics)
+    return metrics
 
 
 def main(argv=None):
@@ -71,19 +76,21 @@ def main(argv=None):
     parser.add_argument("--result-file", type=str, required=True)
     args = parser.parse_args(argv)
 
-    questions = [json.loads(line) for line in open(args.question_file)]
-    questions = {q["question_id"]: q for q in questions}
-    answers = [json.loads(q) for q in open(args.result_file)]
-    for file in os.listdir(args.annotation_dir):
-        if not (file.startswith("coco_pope_") and file.endswith(".json")):
+    question_category = {
+        q["question_id"]: q["category"]
+        for q in (json.loads(line) for line in open(args.question_file))
+    }
+    answers = [json.loads(line) for line in open(args.result_file)]
+
+    for fname in sorted(os.listdir(args.annotation_dir)):
+        if not (fname.startswith("coco_pope_") and fname.endswith(".json")):
             continue
-        category = file[10:-5]
-        cur_answers = [
-            x for x in answers if questions[x["question_id"]]["category"] == category
-        ]
-        print(f'Category: {category}, # samples: {len(cur_answers)}')
-        eval_pope(cur_answers, os.path.join(args.annotation_dir, file))
-        print("====================================")
+        category = fname[len("coco_pope_"):-len(".json")]
+        cur = [a for a in answers
+               if question_category[a["question_id"]] == category]
+        print(f"Category: {category}, # samples: {len(cur)}")
+        eval_pope(cur, os.path.join(args.annotation_dir, fname))
+        print("=" * 36)
 
 
 if __name__ == "__main__":

@@ -49,6 +49,14 @@ def parse_answer(text: str, options) -> str:
     return "FAILED"
 
 
+def parse_strict_answer(text: str) -> str:
+    """Only accept exactly one 'The answer is X.' occurrence — the stricter
+    rule the GPT-4 comparison scorers apply (reference
+    eval_science_qa_gpt4.py:62-72)."""
+    found = re.findall(r"The answer is ([A-Z]).", text)
+    return found[0] if len(found) == 1 else "FAILED"
+
+
 def main(argv=None):
     args = get_args(argv)
     base_dir = args.base_dir
