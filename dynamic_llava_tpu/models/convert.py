@@ -246,6 +246,20 @@ def text_predictor_params_from_state_dict(
 # ---------------------------------------------------------------------------
 
 
+def load_state_dict_file(path: str) -> Dict[str, np.ndarray]:
+    """Load a single weights file (.safetensors or torch .bin/.pt) into
+    numpy arrays — e.g. a stage-1 mm_projector.bin."""
+    if path.endswith(".safetensors"):
+        from safetensors import safe_open
+
+        with safe_open(path, framework="np") as fh:
+            return {k: fh.get_tensor(k) for k in fh.keys()}
+    import torch
+
+    part = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: _np(v) for k, v in part.items()}
+
+
 def load_state_dict_from_dir(model_dir: str) -> Dict[str, np.ndarray]:
     """Load all weights from an HF model directory into numpy arrays."""
     sd: Dict[str, np.ndarray] = {}

@@ -74,10 +74,19 @@ def init_llava_params(key: jax.Array, cfg: LlavaConfig, dtype=jnp.float32):
     return params
 
 
-def encode_images(params, cfg: LlavaConfig, pixel_values: jax.Array) -> jax.Array:
+def encode_images(
+    params, cfg: LlavaConfig, pixel_values: jax.Array,
+    frozen_tower: bool = False,
+) -> jax.Array:
     """Tower + projector (reference encode_images, dynamic_llava_arch.py:163-166).
-    pixel_values: [B, H, W, 3] normalized NHWC -> [B, N_img, D]."""
+    pixel_values: [B, H, W, 3] normalized NHWC -> [B, N_img, D].
+
+    ``frozen_tower`` stops gradients at the tower features (the reference
+    recipe freezes CLIP) while leaving the projector trainable — it is the
+    ONLY trainable module in the stage-1 alignment recipe."""
     feats = clip.vision_tower_features(params["vision_tower"], cfg.vision, pixel_values)
+    if frozen_tower:
+        feats = jax.lax.stop_gradient(feats)
     return projector.apply_projector(params["mm_projector"], feats)
 
 
@@ -250,33 +259,55 @@ def prefill(
 def prefill_continue(
     params,
     cfg: LlavaConfig,
-    token_ids: jax.Array,  # [B, M] new round's tokens (all valid)
+    token_ids: jax.Array,  # [B, M] new round's tokens (right-padded)
     state: GenState,
+    chunk_len: Optional[jax.Array] = None,  # [B] valid tokens per sample
 ) -> GenState:
     """Multi-round continuation (E5, reference :2506-2521): process a new
     instruct chunk against the live cache in one pass. With the instruct
     predictor on, chunk tokens are threshold-pruned before persisting into
-    the sparse tier — the final token is always kept."""
+    the sparse tier — the final token is always kept.
+
+    ``chunk_len`` enables RAGGED batches (rounds of different lengths,
+    right-padded to M): padding tokens are never persisted, per-sample
+    positions/lengths advance by the valid count, and the returned logits
+    come from each sample's last valid token. Padding rows attend freely
+    (causal keeps valid rows from seeing them — padding sits at the tail)
+    but their outputs are discarded. Omitted = every chunk fully valid,
+    which reproduces the reference's B==1 chat regime batched."""
     tcfg, sparse = cfg.text, cfg.sparse
-    m = token_ids.shape[1]
+    b, m = token_ids.shape
     sl = sparse.sparse_layer
+
+    valid = None
+    if chunk_len is not None:
+        valid = (
+            jnp.arange(m, dtype=jnp.int32)[None, :] < chunk_len[:, None]
+        )  # [B, M]
 
     x = llama.embed_tokens(params["llm"], token_ids)
     positions = state.next_pos[:, None] + jnp.arange(m, dtype=jnp.int32)[None, :]
 
     d1 = llama.run_layers_extend(
-        params["llm"], tcfg, x, positions, state.cache.pre, lo=0, hi=sl
+        params["llm"], tcfg, x, positions, state.cache.pre, lo=0, hi=sl,
+        keep=valid,
     )
     x = d1.x
     # kept counts come from the layer runner: they reflect its capacity
     # clamp, so lengths never advance past what was actually persisted
     cache_pre = d1.cache._replace(length=d1.cache.length + d1.kept[None, :])
 
-    keep = None
+    keep = valid
     if sparse.use_instruct_predictor:
         tp = text_predictor(params["predictors"]["instruct_score_predictor"], x)
         keep = tp[..., 0] > tp[..., 1]
-        keep = keep.at[:, -1].set(True)  # last token forced keep
+        if valid is not None:
+            keep = jnp.logical_and(keep, valid)
+            # last VALID token forced keep, per sample
+            batch_idx = jnp.arange(b, dtype=jnp.int32)
+            keep = keep.at[batch_idx, chunk_len - 1].set(True)
+        else:
+            keep = keep.at[:, -1].set(True)  # last token forced keep
 
     d2 = llama.run_layers_extend(
         params["llm"], tcfg, x, positions, state.cache.post,
@@ -285,10 +316,18 @@ def prefill_continue(
     x = d2.x
     cache_post = d2.cache._replace(length=d2.cache.length + d2.kept[None, :])
 
-    logits = llama.lm_head(params["llm"], tcfg, x[:, -1:])[:, 0]
+    if chunk_len is not None:
+        last = jnp.take_along_axis(
+            x, (chunk_len - 1)[:, None, None].astype(jnp.int32), axis=1
+        )  # [B, 1, D]
+        advance = chunk_len.astype(state.next_pos.dtype)
+    else:
+        last = x[:, -1:]
+        advance = jnp.asarray(m, state.next_pos.dtype)
+    logits = llama.lm_head(params["llm"], tcfg, last)[:, 0]
     return GenState(
         cache=TieredCache(pre=cache_pre, post=cache_post),
-        next_pos=state.next_pos + m,
+        next_pos=state.next_pos + advance,
         last_logits=logits,
     )
 
@@ -472,11 +511,9 @@ def forward_train(
 
     x = llama.embed_tokens(params["llm"], plan_token_ids)
     if pixel_values is not None:
-        img_feats = encode_images(params, cfg, pixel_values)
-        # tower is frozen in the reference recipe; stop grads into it
-        x = fuse_embeddings(
-            x, jax.lax.stop_gradient(img_feats), plan_is_image, plan_image_slot
-        )
+        img_feats = encode_images(params, cfg, pixel_values,
+                                  frozen_tower=True)
+        x = fuse_embeddings(x, img_feats, plan_is_image, plan_image_slot)
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
 
     x = llama.run_layers_nocache(

@@ -70,11 +70,13 @@ def attach_lora(params: dict, lora_layers: Dict[str, dict]) -> dict:
 
 def lora_proj(lp: dict, name: str, x: jax.Array) -> jax.Array:
     """x @ W (+ s * (x @ A) @ B when an adapter is attached). W may be an
-    int8-quantized dict leaf (ops.quant): the dequant convert fuses into the
-    matmul."""
+    int8 or packed-int4 quantized dict leaf (ops.quant): the dequant
+    convert/shifts fuse into the matmul."""
     w = lp[name]
-    if isinstance(w, dict) and "q" in w:
-        w = w["q"].astype(x.dtype) * w["s"].astype(x.dtype)
+    if isinstance(w, dict):
+        from ..ops.quant import dequantize_weight
+
+        w = dequantize_weight(w, x.dtype)
     y = x @ w
     lora = lp.get(f"{name}_lora")
     if lora is not None:

@@ -28,15 +28,32 @@ def _is_no_decay(path) -> bool:
     )
 
 
-def label_params(params, lora_mode: bool = False) -> Any:
-    """'frozen' (vision tower) | 'predictor[_nd]' | 'base[_nd]'.
+def label_params(
+    params,
+    lora_mode: bool = False,
+    tune_mm_mlp_adapter: bool = False,
+    projector_lr_group: bool = False,
+) -> Any:
+    """'frozen' (vision tower) | 'predictor[_nd]' | 'projector[_nd]' |
+    'base[_nd]'.
 
     In ``lora_mode`` only adapters (a/b), predictors, and the projector
     train; everything else in the LLM is frozen (reference lora recipe,
-    train_sparse.py:1041-1072). Adapter scale leaves ('s') stay frozen."""
+    train_sparse.py:1041-1072). Adapter scale leaves ('s') stay frozen.
+
+    ``tune_mm_mlp_adapter`` is the stage-1 alignment recipe (reference
+    scripts/v1_5/pretrain.sh --tune_mm_mlp_adapter True): ONLY the
+    mm_projector trains. ``projector_lr_group`` routes the projector to its
+    own lr group without freezing anything else (--mm_projector_lr)."""
 
     def label(path, leaf):
         keys = "/".join(str(getattr(p, "key", p)) for p in path)
+        if keys.startswith("mm_projector"):
+            if tune_mm_mlp_adapter or projector_lr_group:
+                return "projector" + ("_nd" if _is_no_decay(path) else "")
+            return "base" + ("_nd" if _is_no_decay(path) else "")
+        if tune_mm_mlp_adapter:
+            return "frozen"
         if keys.startswith("vision_tower"):
             return "frozen"
         if "_lora" in keys:
@@ -62,6 +79,9 @@ def make_optimizer(
     predictor_lr_schedule=None,
     grad_clip: float = 1.0,
     lora_mode: bool = False,
+    tune_mm_mlp_adapter: bool = False,
+    projector_lr=None,
+    projector_lr_schedule=None,
 ) -> optax.GradientTransformation:
     def adamw(lr, wd):
         tx = optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=wd)
@@ -69,17 +89,28 @@ def make_optimizer(
             return optax.chain(optax.clip_by_global_norm(grad_clip), tx)
         return tx
 
+    proj_lr = (projector_lr_schedule or projector_lr
+               or lr_schedule or base_lr)
     transforms = {
         "base": adamw(lr_schedule or base_lr, weight_decay),
         "base_nd": adamw(lr_schedule or base_lr, 0.0),
         "predictor": adamw(predictor_lr_schedule or predictor_lr, predictor_weight_decay),
         "predictor_nd": adamw(predictor_lr_schedule or predictor_lr, 0.0),
+        "projector": adamw(proj_lr, weight_decay),
+        "projector_nd": adamw(proj_lr, 0.0),
         "frozen": optax.set_to_zero(),
     }
     import functools
 
     return optax.multi_transform(
-        transforms, functools.partial(label_params, lora_mode=lora_mode)
+        transforms,
+        functools.partial(
+            label_params,
+            lora_mode=lora_mode,
+            tune_mm_mlp_adapter=tune_mm_mlp_adapter,
+            projector_lr_group=projector_lr is not None
+            or projector_lr_schedule is not None,
+        ),
     )
 
 

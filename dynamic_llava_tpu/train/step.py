@@ -74,6 +74,7 @@ def make_train_step(
     param_specs=None,
     remat: bool = True,
     grad_accum_steps: int = 1,
+    labels=None,
 ):
     """Returns jitted ``step(params, opt_state, batch, rng, tau) ->
     (params, opt_state, metrics)``. With a mesh, params/opt-state are
@@ -82,12 +83,49 @@ def make_train_step(
     ``grad_accum_steps > 1`` splits the batch's leading dim into that many
     micro-batches and averages their gradients before the optimizer update —
     how the reference's global batch 64 fits devices that cannot hold it
-    (the deepspeed recipe's gradient_accumulation_steps)."""
+    (the deepspeed recipe's gradient_accumulation_steps).
+
+    ``labels`` (the optimizer's label pytree) restricts differentiation to
+    non-'frozen' leaves: frozen weights never enter jax.grad, so
+    projector-only pretrain does not materialize decoder gradients and
+    int-quantized QLoRA base weights (which jax.grad would reject) are
+    legal. Frozen slots carry 0-d zero grads into the optimizer, whose
+    set_to_zero group ignores them."""
+
+    frozen_flags = None
+    if labels is not None:
+        frozen_flags = tuple(
+            label == "frozen" for label in jax.tree.leaves(labels)
+        )
+        if not any(frozen_flags):
+            frozen_flags = None
 
     def grads_of(params, batch, rng, tau):
-        return jax.value_and_grad(loss_fn, has_aux=True)(
-            params, cfg, batch, rng, tau, remat
-        )
+        if frozen_flags is None:
+            return jax.value_and_grad(loss_fn, has_aux=True)(
+                params, cfg, batch, rng, tau, remat
+            )
+        treedef = jax.tree.structure(params)
+        leaves = jax.tree.leaves(params)
+        train = [p for p, f in zip(leaves, frozen_flags) if not f]
+        frozen = [p for p, f in zip(leaves, frozen_flags) if f]
+
+        def merge(train_leaves, frozen_leaves):
+            it_t, it_f = iter(train_leaves), iter(frozen_leaves)
+            return jax.tree.unflatten(
+                treedef,
+                [next(it_f) if f else next(it_t) for f in frozen_flags],
+            )
+
+        def loss_trainable(train_leaves):
+            return loss_fn(merge(train_leaves, frozen), cfg, batch, rng,
+                           tau, remat)
+
+        (loss, metrics), g_train = jax.value_and_grad(
+            loss_trainable, has_aux=True
+        )(train)
+        grads = merge(g_train, [jnp.zeros((), jnp.float32) for _ in frozen])
+        return (loss, metrics), grads
 
     def step(params, opt_state, batch: TrainBatch, rng, tau):
         if grad_accum_steps == 1:
@@ -111,11 +149,13 @@ def make_train_step(
                 metrics_acc = jax.tree.map(jnp.add, metrics_acc, metrics_i)
                 return (grads_acc, metrics_acc), None
 
-            zero_grads = jax.tree.map(
-                lambda x: jnp.zeros(x.shape, jnp.float32), params
-            )
             mb0 = jax.tree.map(lambda x: None if x is None else x[0], micro)
-            (_, m_shape), _ = jax.eval_shape(grads_of, params, mb0, rngs[0], tau)
+            (_, m_shape), g_shape = jax.eval_shape(
+                grads_of, params, mb0, rngs[0], tau
+            )
+            zero_grads = jax.tree.map(
+                lambda s_: jnp.zeros(s_.shape, s_.dtype), g_shape
+            )
             zero_metrics = jax.tree.map(
                 lambda s_: jnp.zeros(s_.shape, s_.dtype), m_shape
             )

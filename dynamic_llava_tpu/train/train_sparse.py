@@ -80,6 +80,17 @@ def parse_args(argv=None):
     p.add_argument("--lora_enable", action="store_true")
     p.add_argument("--lora_r", type=int, default=128)
     p.add_argument("--lora_alpha", type=float, default=256.0)
+    # dense-stage recipes (reference scripts/pretrain.sh, finetune*.sh)
+    p.add_argument("--tune_mm_mlp_adapter",
+                   type=lambda s: s.lower() != "false", default=False,
+                   help="stage-1 alignment: train ONLY the projector")
+    p.add_argument("--pretrain_mm_mlp_adapter", type=str, default=None,
+                   help="mm_projector.bin from a stage-1 run to load")
+    p.add_argument("--mm_projector_lr", type=float, default=0.0,
+                   help="separate projector lr (lora recipes use 2e-5)")
+    p.add_argument("--bits", type=int, default=16, choices=[4, 8, 16],
+                   help="quantize frozen base weights (qlora, with "
+                        "--lora_enable)")
     return p.parse_args(argv)
 
 
@@ -155,6 +166,28 @@ def train(argv=None):
         raise SystemExit("need --model_path or --tokenizer_path for a tokenizer")
     tokenizer.model_max_length = args.model_max_length
 
+    if args.pretrain_mm_mlp_adapter:
+        from ..models import convert
+
+        proj_sd = convert.load_state_dict_from_dir(
+            args.pretrain_mm_mlp_adapter
+        ) if not args.pretrain_mm_mlp_adapter.endswith(
+            (".bin", ".pt", ".safetensors")
+        ) else convert.load_state_dict_file(args.pretrain_mm_mlp_adapter)
+        params["mm_projector"] = jax.tree.map(
+            lambda a: jnp.asarray(a, dtype),
+            convert.projector_params_from_state_dict(
+                proj_sd, cfg.mm_projector_type
+            ),
+        )
+
+    if args.bits in (4, 8):
+        if not args.lora_enable:
+            raise SystemExit("--bits 4/8 requires --lora_enable (qlora)")
+        from ..ops.quant import quantize_llm_params
+
+        params = quantize_llm_params(params, bits=args.bits)
+
     if args.lora_enable:
         from .lora import attach_lora, init_lora_params
 
@@ -203,6 +236,8 @@ def train(argv=None):
         fsdp_parallel=args.fsdp_parallel,
         tensor_parallel=args.tensor_parallel,
         lora_mode=args.lora_enable,
+        tune_mm_mlp_adapter=args.tune_mm_mlp_adapter,
+        mm_projector_lr=args.mm_projector_lr,
     )
     trainer = Trainer(cfg, params, tc, use_mesh=n_dev > 1)
     if trainer.maybe_resume():

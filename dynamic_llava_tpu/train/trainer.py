@@ -43,6 +43,10 @@ class TrainerConfig:
     grad_accum_steps: int = 1
     report_to: str = "jsonl"  # "jsonl" | "none"
     lora_mode: bool = False
+    # stage-1 projector alignment (reference scripts/v1_5/pretrain.sh)
+    tune_mm_mlp_adapter: bool = False
+    # separate projector lr (reference --mm_projector_lr, lora recipes)
+    mm_projector_lr: float = 0.0
     # mesh
     data_parallel: int = 1
     fsdp_parallel: int = -1
@@ -101,6 +105,11 @@ class Trainer:
             tc.predictor_lr, tc.num_train_steps, tc.warmup_ratio
         )
         self.base_sched, self.pred_sched = base_sched, pred_sched
+        proj_sched = (
+            cosine_with_warmup(tc.mm_projector_lr, tc.num_train_steps,
+                               tc.warmup_ratio)
+            if tc.mm_projector_lr else None
+        )
         self.optimizer = make_optimizer(
             base_lr=tc.learning_rate,
             predictor_lr=tc.predictor_lr,
@@ -108,16 +117,26 @@ class Trainer:
             lr_schedule=base_sched,
             predictor_lr_schedule=pred_sched,
             lora_mode=tc.lora_mode,
+            tune_mm_mlp_adapter=tc.tune_mm_mlp_adapter,
+            projector_lr_schedule=proj_sched,
         )
         self.params = params
         self.opt_state = self.optimizer.init(params)
         self.tau_fn = gumbel_tau_schedule(
             tc.gumbel_start_tau, tc.gumbel_end_tau, tc.num_train_steps
         )
+        from .optimizer import label_params
+
+        self.labels = label_params(
+            params, lora_mode=tc.lora_mode,
+            tune_mm_mlp_adapter=tc.tune_mm_mlp_adapter,
+            projector_lr_group=bool(tc.mm_projector_lr),
+        )
         self.step_fn = make_train_step(
             cfg, self.optimizer, mesh=self.mesh, param_specs=self.specs,
             remat=tc.gradient_checkpointing,
             grad_accum_steps=tc.grad_accum_steps,
+            labels=self.labels,
         )
         self.logger = MetricsLogger(tc.output_dir, tc.report_to != "none")
         self.step = 0

@@ -144,3 +144,82 @@ def test_forward_nocache_eval_sparse_prunes():
     # image pruned to budget; answer possibly pruned further
     assert int(lengths[0]) <= full - n_img + k
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_prefill_continue_ragged_matches_per_sample():
+    """Ragged batch: chunks of different lengths (right-padded) must give
+    each sample the same logits and cache lengths as running it alone."""
+    cfg = _cfg()
+    params = dynamic.init_llava_params(jax.random.key(1), cfg)
+    rng = np.random.default_rng(2)
+    a = rng.integers(3, cfg.text.vocab_size, size=(2, 9))
+    chunk0 = rng.integers(3, cfg.text.vocab_size, size=(7,))
+    chunk1 = rng.integers(3, cfg.text.vocab_size, size=(3,))
+
+    # batched, ragged: pad sample 1's chunk to 7
+    padded = np.zeros((2, 7), np.int64)
+    padded[0] = chunk0
+    padded[1, :3] = chunk1
+    plan_a = plan_batch(list(a), 0)
+    state, _ = _prefill(params, cfg, plan_a, None)
+    ragged = dynamic.prefill_continue(
+        params, cfg, jnp.asarray(padded), state,
+        chunk_len=jnp.asarray([7, 3], jnp.int32),
+    )
+
+    # singles
+    for i, chunk in enumerate([chunk0, chunk1]):
+        plan_i = plan_batch([a[i]], 0)
+        st, _ = _prefill(params, cfg, plan_i, None)
+        solo = dynamic.prefill_continue(
+            params, cfg, jnp.asarray(chunk[None]), st
+        )
+        np.testing.assert_allclose(
+            np.asarray(ragged.last_logits[i]), np.asarray(solo.last_logits[0]),
+            atol=2e-4, rtol=2e-3,
+        )
+        assert int(ragged.cache.pre.length[0, i]) == int(
+            solo.cache.pre.length[0, 0]
+        )
+        assert int(ragged.cache.post.length[-1, i]) == int(
+            solo.cache.post.length[-1, 0]
+        )
+        assert int(ragged.next_pos[i]) == int(solo.next_pos[0])
+
+
+def test_prefill_continue_ragged_then_decode():
+    """After a ragged continuation, greedy decode from each sample matches
+    its solo run (cache contents, not just logits, are correct)."""
+    cfg = _cfg()
+    params = dynamic.init_llava_params(jax.random.key(3), cfg)
+    rng = np.random.default_rng(4)
+    a = rng.integers(3, cfg.text.vocab_size, size=(2, 6))
+    chunks = [rng.integers(3, cfg.text.vocab_size, size=(5,)),
+              rng.integers(3, cfg.text.vocab_size, size=(2,))]
+
+    padded = np.zeros((2, 5), np.int64)
+    padded[0] = chunks[0]
+    padded[1, :2] = chunks[1]
+    plan_a = plan_batch(list(a), 0)
+    state, _ = _prefill(params, cfg, plan_a, None)
+    state = dynamic.prefill_continue(
+        params, cfg, jnp.asarray(padded), state,
+        chunk_len=jnp.asarray([5, 2], jnp.int32),
+    )
+    toks_batched = []
+    for _ in range(3):
+        tok = jnp.argmax(state.last_logits, axis=-1)
+        toks_batched.append(np.asarray(tok))
+        state = dynamic.decode_step(params, cfg, tok, state)
+    toks_batched = np.stack(toks_batched, axis=1)  # [B, 3]
+
+    for i, chunk in enumerate(chunks):
+        plan_i = plan_batch([a[i]], 0)
+        st, _ = _prefill(params, cfg, plan_i, None)
+        st = dynamic.prefill_continue(params, cfg, jnp.asarray(chunk[None]), st)
+        solo = []
+        for _ in range(3):
+            tok = jnp.argmax(st.last_logits, axis=-1)
+            solo.append(int(tok[0]))
+            st = dynamic.decode_step(params, cfg, tok, st)
+        assert list(toks_batched[i]) == solo
