@@ -99,9 +99,14 @@ def index_layer(layers, i):
 
 def embed_tokens(params, ids: jax.Array) -> jax.Array:
     emb = params["embed"]
-    if isinstance(emb, dict) and "q" in emb:  # int8: per-row scales gather too
-        q = jnp.take(emb["q"], ids, axis=0)
+    if isinstance(emb, dict):  # int8/packed-int4: gather rows, then dequant
+        from ..ops.quant import unpack_int4
+
         scl = jnp.take(emb["s"], ids, axis=0)
+        if "q4" in emb:  # packed along hidden (last axis): row gather is free
+            q = unpack_int4(jnp.take(emb["q4"], ids, axis=0))
+        else:
+            q = jnp.take(emb["q"], ids, axis=0)
         return q.astype(scl.dtype) * scl
     return jnp.take(emb, ids, axis=0)
 
@@ -109,8 +114,10 @@ def embed_tokens(params, ids: jax.Array) -> jax.Array:
 def lm_head(params, cfg: LlamaConfig, x: jax.Array) -> jax.Array:
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
     w = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
-    if isinstance(w, dict) and "q" in w:
-        w = w["q"].astype(x.dtype) * w["s"].astype(x.dtype)
+    if isinstance(w, dict):
+        from ..ops.quant import dequantize_weight
+
+        w = dequantize_weight(w, x.dtype)
     if cfg.tie_word_embeddings:
         w = w.T
     return jnp.einsum("...d,dv->...v", x, w, preferred_element_type=jnp.float32)

@@ -22,16 +22,44 @@ import jax.numpy as jnp
 QUANT_TARGETS = ("q", "k", "v", "o", "gate", "up", "down")
 
 
+def pack_int4(q: jax.Array) -> jax.Array:
+    """Pack int4-valued (int8-stored) numbers into nibble pairs along the
+    LAST axis: element 2k in the low nibble, 2k+1 in the high nibble.
+
+    Packed int8 is THIS REPO'S at-rest int4 format. ``jnp.int4`` buffers
+    cannot be jit arguments or host-read through the axon TPU tunnel
+    (jax-internal recursion / UNIMPLEMENTED), and packed nibbles read the
+    same 0.5 bytes/weight from HBM — the consumer unpacks in-kernel with
+    two shifts that XLA fuses into the dequantizing matmul."""
+    q = jnp.asarray(q, jnp.int8)
+    if q.shape[-1] % 2:
+        raise ValueError(f"last dim must be even, got {q.shape}")
+    lo = q[..., 0::2] & 0x0F
+    hi = jnp.left_shift(q[..., 1::2] & 0x0F, 4)
+    return (lo | hi).astype(jnp.int8)
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """Inverse of ``pack_int4``: nibble pairs -> int8-stored int4 values,
+    last axis restored to 2x. jit-able; two shifts sign-extend."""
+    packed = packed.astype(jnp.int8)
+    lo = jnp.left_shift(packed, 4) >> 4
+    hi = packed >> 4
+    pair = jnp.stack([lo, hi], axis=-1)  # [..., n, 2]
+    return pair.reshape(packed.shape[:-1] + (2 * packed.shape[-1],))
+
+
 def _quantize_2d(w: jax.Array, axis: int, bits: int = 8) -> dict:
-    """bits=8 -> int8 (bnb 8-bit parity); bits=4 -> native TPU int4
+    """bits=8 -> int8 (bnb 8-bit parity); bits=4 -> nibble-packed int8
     (bnb 4-bit parity; 13B fits one v5e chip at 6.6 GB)."""
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
     qmax = 127.0 if bits == 8 else 7.0
-    qtype = jnp.int8 if bits == 8 else jnp.int4
     scale = jnp.maximum(amax / qmax, 1e-8)
-    q = jnp.clip(jnp.round(wf / scale), -qmax, qmax).astype(qtype)
+    q = jnp.clip(jnp.round(wf / scale), -qmax, qmax).astype(jnp.int8)
     # scales keep the source dtype so activation dtypes are unchanged
+    if bits == 4:
+        return {"q4": pack_int4(q), "s": scale.astype(w.dtype)}
     return {"q": q, "s": scale.astype(w.dtype)}
 
 
@@ -58,13 +86,24 @@ def quantize_weight(w: jax.Array, axis: int = 0, bits: int = 8) -> dict:
 
 
 def dequantize_weight(leaf, dtype=jnp.bfloat16) -> jax.Array:
+    if isinstance(leaf, dict) and "q4" in leaf:
+        return unpack_int4(leaf["q4"]).astype(dtype) * leaf["s"].astype(dtype)
     if isinstance(leaf, dict) and "q" in leaf:
         return leaf["q"].astype(dtype) * leaf["s"].astype(dtype)
     return leaf
 
 
 def is_quantized(leaf) -> bool:
-    return isinstance(leaf, dict) and "q" in leaf and "s" in leaf
+    return isinstance(leaf, dict) and "s" in leaf and (
+        "q" in leaf or "q4" in leaf
+    )
+
+
+def transfer_quantized_params(params, device):
+    """device_put a quantized param tree onto ``device``. Every leaf —
+    including int4 (stored nibble-packed as int8, see pack_int4) — is a
+    tunnel-safe dtype, so this is a plain tree device_put."""
+    return jax.tree.map(lambda leaf: jax.device_put(leaf, device), params)
 
 
 def quantize_llm_params(
@@ -124,15 +163,16 @@ def init_quantized_llama_params(key, cfg, targets: Sequence[str] = QUANT_TARGETS
         )
         if quantize and leaf.ndim >= 2:
             qmax = 127 if bits == 8 else 7
-            qtype = jnp.int8 if bits == 8 else jnp.int4
             q = jax.random.randint(
                 next(ks), leaf.shape, -qmax, qmax + 1, dtype=jnp.int32
-            ).astype(qtype)
+            ).astype(jnp.int8)
             # scale so dequantized stddev ~ 0.02 (uniform int std ~ qmax/sqrt3)
             s_shape = list(leaf.shape)
             axis = 0 if name == "lm_head" else leaf.ndim - 2
             s_shape[axis] = 1
             s = jnp.full(s_shape, 0.02 / (qmax / 1.732), jnp.bfloat16)
+            if bits == 4:
+                return {"q4": pack_int4(q), "s": s}
             return {"q": q, "s": s}
         if name.endswith("_ln") or name == "final_ln":
             return jnp.ones(leaf.shape, jnp.bfloat16)

@@ -1,0 +1,267 @@
+"""Sharded 7B train-step evidence on the 8-virtual-device CPU mesh.
+
+VERDICT r1 #8: "a sharded 7B train step (real recipe: grad-accum, remat,
+grouped lr) that compiles + runs one step on the CPU mesh". Two phases:
+
+A. Compile the FULL 7B sparse train step — real recipe: grad_accum=2,
+   gradient checkpointing, grouped lrs (5e-6 base / 2e-4 predictor, cosine
+   +3% warmup), data=2 x fsdp=2 x tensor=2 mesh — from ShapeDtypeStructs,
+   so no 7B buffers are materialized. Reports XLA's own memory analysis,
+   i.e. the per-device HBM the same program would need on a v5e-8.
+
+B. Execute one real step at 7B width (hidden 4096 / heads 32 / ffn 11008)
+   with num_hidden_layers=2: the decoder is a scan over stacked layers, so
+   the compiled program is the SAME program as 7B modulo the stack's
+   leading dim — this validates numerics at real width on host RAM.
+
+C. Serving: compile the FULL 7B sharded prefill (vision tower -> fusion ->
+   top-k prune -> tiered cache) from shapes on the same mesh, then execute
+   prefill + 2 sharded decode steps at 7B width / 2 layers and check the
+   tiered cache lengths and logits. (Numeric equivalence sharded-vs-single
+   is covered at small scale by tests/test_sharded_inference.py; this
+   proves the real 7B dims shard cleanly over data=2 x fsdp=2 x tensor=2.)
+
+Run:  python run/dryrun_7b_train_mesh.py          (takes several minutes
+on one CPU core; phases B/C are ~2.4B params of real math)
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from dynamic_llava_tpu.config import (  # noqa: E402
+    ClipVisionConfig,
+    LlamaConfig,
+    LlavaConfig,
+    SparseConfig,
+)
+from dynamic_llava_tpu.models import dynamic  # noqa: E402
+from dynamic_llava_tpu.multimodal.fusion import plan_batch  # noqa: E402
+from dynamic_llava_tpu.parallel.sharding import (  # noqa: E402
+    llava_param_specs,
+    make_mesh,
+    shard_params,
+)
+from dynamic_llava_tpu.train.optimizer import (  # noqa: E402
+    cosine_with_warmup,
+    label_params,
+    make_optimizer,
+)
+from dynamic_llava_tpu.train.step import (  # noqa: E402
+    batch_from_plan,
+    make_train_step,
+    shard_batch,
+)
+
+TEXT_LEN = 96
+BATCH = 4  # data=2 x 2 per shard; grad_accum=2 -> micro-batch 2
+
+
+def build_cfg(layers: int) -> LlavaConfig:
+    return LlavaConfig(
+        text=dataclasses.replace(
+            LlamaConfig.llama_7b(), num_hidden_layers=layers
+        ),
+        vision=ClipVisionConfig(),  # CLIP-ViT-L/14-336 defaults
+        sparse=SparseConfig(
+            use_vision_predictor=True, use_output_text_predictor=True,
+            use_instruct_predictor=False,
+        ),
+    )
+
+
+def batch_for(cfg):
+    rng = np.random.default_rng(0)
+    ids, labels = [], []
+    for _ in range(BATCH):
+        row = rng.integers(
+            3, cfg.text.vocab_size, size=(TEXT_LEN,)
+        ).astype(np.int64)
+        row[2] = -200
+        lab = row.copy()
+        lab[: TEXT_LEN // 2] = -100
+        ids.append(row)
+        labels.append(lab)
+    plan = plan_batch(ids, cfg.num_image_tokens, labels_list=labels)
+    imgs = rng.normal(
+        size=(BATCH, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    return batch_from_plan(plan, imgs)
+
+
+def trainer_pieces(cfg, params_or_shapes, mesh):
+    num_steps = 1000
+    optimizer = make_optimizer(
+        base_lr=5e-6, predictor_lr=2e-4,
+        lr_schedule=cosine_with_warmup(5e-6, num_steps, 0.03),
+        predictor_lr_schedule=cosine_with_warmup(2e-4, num_steps, 0.03),
+    )
+    specs = llava_param_specs(cfg, params_or_shapes)
+    labels = label_params(params_or_shapes)
+    step = make_train_step(
+        cfg, optimizer, mesh=mesh, param_specs=specs,
+        remat=True, grad_accum_steps=2, labels=labels,
+    )
+    return optimizer, specs, step
+
+
+def main():
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    report = {}
+
+    # ---- Phase A: full 7B compile from shapes (no buffers) ----
+    cfg7 = build_cfg(32)
+    t0 = time.time()
+    shapes = jax.eval_shape(
+        lambda k: dynamic.init_llava_params(k, cfg7, jnp.bfloat16),
+        jax.random.key(0),
+    )
+    optimizer, specs, step = trainer_pieces(cfg7, shapes, mesh)
+    opt_shapes = jax.eval_shape(optimizer.init, shapes)
+    batch = batch_for(cfg7)
+    batch_shapes = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), batch
+    )
+    with mesh:
+        lowered = step.lower(
+            shapes, opt_shapes, batch_shapes,
+            jax.eval_shape(lambda: jax.random.key(1)),
+            jax.ShapeDtypeStruct((), jnp.float32),
+        )
+        compiled = lowered.compile()
+    mem = compiled.memory_analysis()
+    report["compile_7b_s"] = round(time.time() - t0, 1)
+    if mem is not None:
+        report["per_device_hbm_gb"] = round(
+            (mem.argument_size_in_bytes + mem.output_size_in_bytes
+             + mem.temp_size_in_bytes) / 2**30, 2)
+        report["temp_gb"] = round(mem.temp_size_in_bytes / 2**30, 2)
+    print("phase A (7B compile):", report)
+
+    # ---- Phase B: real step at 7B width, 2 layers ----
+    cfg2 = build_cfg(2)
+    t0 = time.time()
+    params = dynamic.init_llava_params(jax.random.key(0), cfg2, jnp.bfloat16)
+    optimizer, specs, step = trainer_pieces(cfg2, params, mesh)
+    params = shard_params(params, mesh, specs)
+    opt_state = optimizer.init(params)
+    batch = shard_batch(batch_for(cfg2), mesh)
+    with mesh:
+        params, opt_state, metrics = step(
+            params, opt_state, batch, jax.random.key(1), jnp.float32(1.0)
+        )
+        loss = float(metrics["loss"])
+    assert np.isfinite(loss), loss
+    report["phase_b_loss"] = round(loss, 4)
+    report["phase_b_s"] = round(time.time() - t0, 1)
+    print("phase B (7B-width real step): loss", loss)
+    del params, opt_state
+
+    # ---- Phase C: sharded 7B serving path ----
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dynamic_llava_tpu.ops.kv_cache import init_tiered_cache
+
+    def serve_args(cfg, params):
+        specs = llava_param_specs(cfg, params)
+        to_sh = lambda tree: jax.tree.map(  # noqa: E731
+            lambda s: NamedSharding(mesh, s), tree,
+            is_leaf=lambda x: isinstance(x, P))
+        params_sh = to_sh(specs)
+
+        def fn(params, token_ids, is_image, image_slot, valid_len,
+               image_start, li_start, li_end, has_image, pixels, cache):
+            state, _ = dynamic.prefill(
+                params, cfg, token_ids, is_image, image_slot, valid_len,
+                image_start, li_start, li_end, has_image, pixels, cache)
+            toks = jnp.argmax(state.last_logits, axis=-1)
+            state = dynamic.decode_step(params, cfg, toks, state)
+            toks = jnp.argmax(state.last_logits, axis=-1)
+            state = dynamic.decode_step(params, cfg, toks, state)
+            return state.last_logits, state.cache.pre.length, \
+                state.cache.post.length
+
+        return jax.jit(fn, in_shardings=(params_sh,) + (None,) * 10), specs
+
+    def serve_inputs(cfg):
+        rng = np.random.default_rng(1)
+        ids = []
+        for _ in range(2):
+            row = rng.integers(
+                3, cfg.text.vocab_size, size=(TEXT_LEN,)).astype(np.int64)
+            row[2] = -200
+            ids.append(row)
+        from dynamic_llava_tpu.multimodal.fusion import plan_batch
+
+        plan = plan_batch(ids, cfg.num_image_tokens)
+        imgs = rng.normal(
+            size=(2, cfg.vision.image_size, cfg.vision.image_size, 3)
+        ).astype(np.float32)
+        cache = init_tiered_cache(
+            cfg.text, cfg.sparse.sparse_layer, plan.batch,
+            plan.seq_len + 8, 192, jnp.bfloat16)
+        return (
+            jnp.asarray(plan.token_ids), jnp.asarray(plan.is_image),
+            jnp.asarray(plan.image_slot), jnp.asarray(plan.valid_len),
+            jnp.asarray(plan.spans.image_start),
+            jnp.asarray(plan.spans.last_instruct_start),
+            jnp.asarray(plan.spans.last_instruct_end),
+            jnp.asarray(plan.spans.has_image),
+            jnp.asarray(imgs, jnp.bfloat16), cache,
+        )
+
+    t0 = time.time()
+    shapes7 = jax.eval_shape(
+        lambda k: dynamic.init_llava_params(k, cfg7, jnp.bfloat16),
+        jax.random.key(0))
+    serve_jit, _ = serve_args(cfg7, shapes7)
+    args7 = serve_inputs(cfg7)
+    arg_shapes = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), args7)
+    with mesh:
+        serve_jit.lower(shapes7, *arg_shapes).compile()
+    report["serve_compile_7b_s"] = round(time.time() - t0, 1)
+    print("phase C: full 7B sharded prefill+decode compiles")
+
+    t0 = time.time()
+    params2 = dynamic.init_llava_params(jax.random.key(0), cfg2, jnp.bfloat16)
+    serve_jit2, specs2 = serve_args(cfg2, params2)
+    params2 = shard_params(params2, mesh, specs2)
+    with mesh:
+        logits, pre_len, post_len = serve_jit2(params2, *serve_inputs(cfg2))
+    logits = np.asarray(logits, np.float32)
+    assert np.isfinite(logits).all()
+    pre_len, post_len = np.asarray(pre_len), np.asarray(post_len)
+    # dense tier holds the full fused prompt + 2 decode tokens; sparse tier
+    # was image-pruned at prefill
+    fused = TEXT_LEN - 1 + cfg2.num_image_tokens
+    assert (pre_len[0] == fused + 2).all(), pre_len
+    assert (post_len[-1] < fused).all(), post_len
+    report["phase_c_s"] = round(time.time() - t0, 1)
+    report["phase_c_post_len"] = int(post_len[-1][0])
+    print("phase C (7B-width sharded serve): pre", pre_len[0].tolist(),
+          "post", post_len[-1].tolist())
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -96,7 +96,8 @@ def test_int4_close_to_fp():
     params = llama.init_llama_params(jax.random.key(3), cfg)
     ref_params = llama.init_llama_params(jax.random.key(3), cfg)
     q4 = quantize_llm_params({"llm": params}, bits=4)["llm"]
-    assert str(q4["layers"]["gate"]["q"].dtype) == "int4"
+    # int4 at rest = nibble-packed int8, half the last dim
+    assert q4["layers"]["gate"]["q4"].dtype == jnp.int8
     ids = jnp.asarray(np.random.default_rng(4).integers(0, cfg.vocab_size, (1, 8)))
     ref = np.asarray(llama.forward_dense(ref_params, cfg, ids))
     got = np.asarray(llama.forward_dense(q4, cfg, ids))

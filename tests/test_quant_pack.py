@@ -1,0 +1,67 @@
+"""Packed-int4 weight format: nibble-packed int8 is the at-rest int4
+representation (jnp.int4 buffers cannot be jit args or host-read through
+the axon TPU tunnel; packed int8 reads the same 0.5 bytes/weight)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dynamic_llava_tpu.ops.quant import (
+    dequantize_weight,
+    is_quantized,
+    pack_int4,
+    quantize_weight,
+    transfer_quantized_params,
+    unpack_int4,
+)
+
+
+def test_pack_unpack_roundtrip_2d():
+    rng = np.random.default_rng(0)
+    q = rng.integers(-8, 8, size=(16, 12)).astype(np.int8)
+    packed = pack_int4(jnp.asarray(q))
+    assert packed.shape == (16, 6)
+    assert packed.dtype == jnp.int8
+    restored = unpack_int4(packed)
+    assert restored.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(restored), q)
+
+
+def test_pack_unpack_roundtrip_3d_negative_values():
+    rng = np.random.default_rng(1)
+    q = rng.integers(-8, 8, size=(3, 10, 6)).astype(np.int8)
+    restored = unpack_int4(pack_int4(jnp.asarray(q)))
+    np.testing.assert_array_equal(np.asarray(restored), q)
+
+
+def test_pack_unpack_under_jit():
+    rng = np.random.default_rng(2)
+    q = rng.integers(-8, 8, size=(8, 8)).astype(np.int8)
+    restored = jax.jit(lambda p: unpack_int4(p))(pack_int4(jnp.asarray(q)))
+    np.testing.assert_array_equal(np.asarray(restored), q)
+
+
+def test_quantize_bits4_produces_packed_leaf():
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.normal(size=(8, 6)), jnp.bfloat16)
+    leaf = quantize_weight(w, axis=0, bits=4)
+    assert is_quantized(leaf)
+    assert set(leaf) == {"q4", "s"}
+    assert leaf["q4"].shape == (8, 3)
+    deq = np.asarray(dequantize_weight(leaf), np.float32)
+    # 4-bit quantization error is bounded by half a step per element
+    step = np.asarray(leaf["s"], np.float32)
+    assert np.all(np.abs(deq - np.asarray(w, np.float32)) <= step + 1e-6)
+
+
+def test_transfer_quantized_params_tree():
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(rng.normal(size=(8, 6)), jnp.bfloat16)
+    leaf4 = quantize_weight(w, axis=0, bits=4)
+    params = {"layers": {"q": leaf4, "ln": jnp.ones((6,), jnp.bfloat16)}}
+    moved = transfer_quantized_params(params, jax.devices()[0])
+    assert moved["layers"]["q"]["q4"].dtype == jnp.int8
+    np.testing.assert_allclose(
+        np.asarray(dequantize_weight(moved["layers"]["q"]), np.float32),
+        np.asarray(dequantize_weight(leaf4), np.float32))
