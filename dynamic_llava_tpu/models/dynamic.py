@@ -501,6 +501,7 @@ def forward_train(
     rng: jax.Array,
     gumbel_tau: jax.Array,
     remat: bool = True,
+    remat_policy: str = "nothing",
 ) -> TrainForwardOut:
     """Full-sequence training forward with Gumbel policy masks
     (reference T1/T2/T3, dynamic_modeling_llama.py:1824-2259)."""
@@ -517,7 +518,8 @@ def forward_train(
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
 
     x = llama.run_layers_nocache(
-        params["llm"], tcfg, x, positions, lo=0, hi=sl, remat=remat
+        params["llm"], tcfg, x, positions, lo=0, hi=sl, remat=remat,
+        remat_policy=remat_policy,
     )
 
     valid = positions < valid_len[:, None]
@@ -581,6 +583,7 @@ def forward_train(
         lo=sl, hi=tcfg.num_hidden_layers,
         policy=policy if use_policy else None,
         remat=remat,
+        remat_policy=remat_policy,
     )
     logits = llama.lm_head(params["llm"], tcfg, x)
     return TrainForwardOut(

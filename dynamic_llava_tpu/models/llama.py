@@ -183,8 +183,15 @@ def run_layers_nocache(
     mask: Optional[jax.Array] = None,
     policy: Optional[jax.Array] = None,
     remat: bool = False,
+    remat_policy: str = "nothing",
 ) -> jax.Array:
-    """Run layers [lo, hi) without a KV cache (training / parity paths)."""
+    """Run layers [lo, hi) without a KV cache (training / parity paths).
+
+    ``remat_policy``: "nothing" recomputes the whole layer in the backward
+    (minimum memory — the 7B regime); "dots" saves the weight-matmul
+    outputs (qkv/o/mlp projections — where the FLOPs are) and recomputes
+    only the cheap elementwise/attention pieces, trading ~per-layer
+    activation memory for most of the recompute FLOPs."""
     hi = cfg.num_hidden_layers if hi is None else hi
     layers = params["layers"]
 
@@ -193,9 +200,12 @@ def run_layers_nocache(
         return layer_nocache(lp, cfg, x, positions, mask, policy), None
 
     if remat:
-        body = jax.checkpoint(
-            body, policy=jax.checkpoint_policies.nothing_saveable
+        ckpt_policy = (
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            if remat_policy == "dots"
+            else jax.checkpoint_policies.nothing_saveable
         )
+        body = jax.checkpoint(body, policy=ckpt_policy)
     x, _ = jax.lax.scan(body, x, jnp.arange(lo, hi, dtype=jnp.int32))
     return x
 

@@ -35,24 +35,34 @@ import jax
 import jax.numpy as jnp
 
 
-# XLA's fused attention beats the Pallas kernel whenever the [B, H, S, S]
-# fp32 score tensor comfortably fits in HBM (measured on v5e: S=703 7B
-# prefill XLA 100.7 ms vs Pallas 112.9 ms; S=2048 B=1 H=8 XLA 2.26 ms vs
-# 2.70 ms). The kernel's win is avoiding that materialization entirely, so
-# dispatch on its would-be size: above this many bytes, use flash.
+# XLA's fused attention beats the Pallas kernel for INFERENCE whenever the
+# [B, H, S, S] fp32 score tensor comfortably fits in HBM (measured on v5e:
+# S=703 7B prefill XLA 100.7 ms vs Pallas 112.9 ms; S=2048 B=1 H=8 XLA
+# 2.26 ms vs 2.70 ms). The kernel's win is avoiding that materialization,
+# so inference dispatches on its would-be size: above 1 GiB, use flash.
 FLASH_LOGITS_BYTES = 1 << 30
+# TRAINING is different: the backward pass reads/writes the score tensor
+# again, and the true FA-2 dq/dkv kernels never build it. Measured on v5e
+# (run/train_step_bench.py, 0.55B B=4): at fused S=1663 (531 MB logits,
+# below the inference threshold) the Pallas pair is 382.3 ms/step vs XLA's
+# 440.7 (MFU 29.5% vs 25.6%); at S=2623 flash wins 767.7 vs 901.7. So the
+# grad paths (policy attention) switch to flash at a much lower size.
+FLASH_LOGITS_BYTES_TRAIN = 128 << 20
 
 
-def flash_enabled(head_dim: int, logits_bytes: int | None = None) -> bool:
+def flash_enabled(head_dim: int, logits_bytes: int | None = None,
+                  training: bool = False) -> bool:
     """Use the Pallas fused kernel when on real TPU hardware, with a
     kernel-friendly head dim, and when the XLA path's materialized score
-    tensor would be large. Override with DYNAMIC_LLAVA_FLASH=0/1."""
+    tensor would be large (training uses the lower threshold — see above).
+    Override with DYNAMIC_LLAVA_FLASH=0/1."""
     env = os.environ.get("DYNAMIC_LLAVA_FLASH")
     if env is not None:
         return env not in ("0", "false", "False")
     if head_dim < 64 or head_dim % 8 != 0:
         return False
-    if logits_bytes is not None and logits_bytes < FLASH_LOGITS_BYTES:
+    threshold = FLASH_LOGITS_BYTES_TRAIN if training else FLASH_LOGITS_BYTES
+    if logits_bytes is not None and logits_bytes < threshold:
         return False
     try:
         plat = jax.devices()[0].platform
@@ -75,7 +85,10 @@ def self_attend(
     The flash kernel has a custom VJP (XLA-recompute backward), so it is
     also used under grad."""
     b, s, h, d = q.shape
-    if allow_flash and flash_enabled(d, b * h * s * s * 4):
+    # a policy mask marks the training (Gumbel) path: its dispatch uses the
+    # lower training threshold because the backward also rides the kernel
+    if allow_flash and flash_enabled(d, b * h * s * s * 4,
+                                     training=policy is not None):
         if policy is None:
             from .flash_attention import flash_attention_vjp
 

@@ -56,13 +56,14 @@ def batch_from_plan(plan: FusionPlan, pixel_values) -> TrainBatch:
     )
 
 
-def loss_fn(params, cfg: LlavaConfig, batch: TrainBatch, rng, tau, remat=True):
+def loss_fn(params, cfg: LlavaConfig, batch: TrainBatch, rng, tau, remat=True,
+            remat_policy="nothing"):
     out = dynamic.forward_train(
         params, cfg,
         batch.token_ids, batch.is_image, batch.image_slot, batch.valid_len,
         batch.image_start, batch.answer_start, batch.answer_end,
         batch.last_instruct_start, batch.last_instruct_end, batch.has_image,
-        batch.pixel_values, rng, tau, remat=remat,
+        batch.pixel_values, rng, tau, remat=remat, remat_policy=remat_policy,
     )
     return total_loss(out, batch.labels, cfg.sparse)
 
@@ -75,6 +76,7 @@ def make_train_step(
     remat: bool = True,
     grad_accum_steps: int = 1,
     labels=None,
+    remat_policy: str = "nothing",
 ):
     """Returns jitted ``step(params, opt_state, batch, rng, tau) ->
     (params, opt_state, metrics)``. With a mesh, params/opt-state are
@@ -103,7 +105,7 @@ def make_train_step(
     def grads_of(params, batch, rng, tau):
         if frozen_flags is None:
             return jax.value_and_grad(loss_fn, has_aux=True)(
-                params, cfg, batch, rng, tau, remat
+                params, cfg, batch, rng, tau, remat, remat_policy
             )
         treedef = jax.tree.structure(params)
         leaves = jax.tree.leaves(params)
@@ -119,7 +121,7 @@ def make_train_step(
 
         def loss_trainable(train_leaves):
             return loss_fn(merge(train_leaves, frozen), cfg, batch, rng,
-                           tau, remat)
+                           tau, remat, remat_policy)
 
         (loss, metrics), g_train = jax.value_and_grad(
             loss_trainable, has_aux=True

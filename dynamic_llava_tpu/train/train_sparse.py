@@ -52,6 +52,10 @@ def parse_args(argv=None):
     p.add_argument("--save_steps", type=int, default=500)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--gradient_checkpointing", action="store_true", default=True)
+    p.add_argument("--remat_policy", type=str, default="nothing",
+                   choices=["nothing", "dots"],
+                   help="gradient-checkpoint policy: nothing=min memory, "
+                        "dots=save projection outputs (faster backward)")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--gumbel_start_tau", type=float, default=1.0)
     p.add_argument("--gumbel_end_tau", type=float, default=0.1)
@@ -230,6 +234,7 @@ def train(argv=None):
         save_steps=args.save_steps,
         seed=args.seed,
         gradient_checkpointing=args.gradient_checkpointing,
+        remat_policy=args.remat_policy,
         grad_accum_steps=args.gradient_accumulation_steps,
         report_to=args.report_to,
         data_parallel=args.data_parallel,

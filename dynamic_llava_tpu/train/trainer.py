@@ -40,6 +40,9 @@ class TrainerConfig:
     save_steps: int = 500
     seed: int = 42
     gradient_checkpointing: bool = True
+    # "nothing" (min memory, 7B) | "dots" (save projection outputs -> much
+    # less backward recompute; fits sub-1B and sharded regimes)
+    remat_policy: str = "nothing"
     grad_accum_steps: int = 1
     report_to: str = "jsonl"  # "jsonl" | "none"
     lora_mode: bool = False
@@ -137,6 +140,7 @@ class Trainer:
             remat=tc.gradient_checkpointing,
             grad_accum_steps=tc.grad_accum_steps,
             labels=self.labels,
+            remat_policy=tc.remat_policy,
         )
         self.logger = MetricsLogger(tc.output_dir, tc.report_to != "none")
         self.step = 0

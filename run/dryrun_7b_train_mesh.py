@@ -74,6 +74,12 @@ from dynamic_llava_tpu.train.step import (  # noqa: E402
 
 TEXT_LEN = 96
 BATCH = 4  # data=2 x 2 per shard; grad_accum=2 -> micro-batch 2
+# Execution phases (B/C) use smaller shapes: XLA's CPU collectives abort if
+# a rendezvous waits >40s, and on this 1-core host a 7B-width layer's
+# fwd+bwd across 8 time-sliced device threads can exceed that between
+# collectives at the compile-phase shape.
+TEXT_LEN_EXEC = 48
+BATCH_EXEC = 2
 
 
 def build_cfg(layers: int) -> LlavaConfig:
@@ -89,21 +95,21 @@ def build_cfg(layers: int) -> LlavaConfig:
     )
 
 
-def batch_for(cfg):
+def batch_for(cfg, batch=BATCH, text_len=TEXT_LEN):
     rng = np.random.default_rng(0)
     ids, labels = [], []
-    for _ in range(BATCH):
+    for _ in range(batch):
         row = rng.integers(
-            3, cfg.text.vocab_size, size=(TEXT_LEN,)
+            3, cfg.text.vocab_size, size=(text_len,)
         ).astype(np.int64)
         row[2] = -200
         lab = row.copy()
-        lab[: TEXT_LEN // 2] = -100
+        lab[: text_len // 2] = -100
         ids.append(row)
         labels.append(lab)
     plan = plan_batch(ids, cfg.num_image_tokens, labels_list=labels)
     imgs = rng.normal(
-        size=(BATCH, cfg.vision.image_size, cfg.vision.image_size, 3)
+        size=(batch, cfg.vision.image_size, cfg.vision.image_size, 3)
     ).astype(np.float32)
     return batch_from_plan(plan, imgs)
 
@@ -128,34 +134,33 @@ def main():
     mesh = make_mesh(data=2, fsdp=2, tensor=2)
     report = {}
 
-    # ---- Phase A: full 7B compile from shapes (no buffers) ----
+    # ---- Phase A: full 7B compile (real sharded buffers, no execution) ----
+    # Materialized (not ShapeDtypeStructs) so the optimizer moments inherit
+    # the params' sharding through computation-follows-data — lowering from
+    # bare shapes would treat the opt state as replicated and inflate the
+    # memory analysis. ~41 GB host RAM, fits this box.
     cfg7 = build_cfg(32)
     t0 = time.time()
-    shapes = jax.eval_shape(
-        lambda k: dynamic.init_llava_params(k, cfg7, jnp.bfloat16),
-        jax.random.key(0),
-    )
-    optimizer, specs, step = trainer_pieces(cfg7, shapes, mesh)
-    opt_shapes = jax.eval_shape(optimizer.init, shapes)
-    batch = batch_for(cfg7)
-    batch_shapes = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), batch
-    )
+    params7 = dynamic.init_llava_params(
+        jax.random.key(0), cfg7, jnp.bfloat16)
+    optimizer, specs, step = trainer_pieces(cfg7, params7, mesh)
+    params7 = shard_params(params7, mesh, specs)
+    opt7 = optimizer.init(params7)
+    batch = shard_batch(batch_for(cfg7), mesh)
     with mesh:
-        lowered = step.lower(
-            shapes, opt_shapes, batch_shapes,
-            jax.eval_shape(lambda: jax.random.key(1)),
-            jax.ShapeDtypeStruct((), jnp.float32),
-        )
-        compiled = lowered.compile()
+        compiled = step.lower(
+            params7, opt7, batch, jax.random.key(1), jnp.float32(1.0)
+        ).compile()
     mem = compiled.memory_analysis()
     report["compile_7b_s"] = round(time.time() - t0, 1)
     if mem is not None:
+        alias = getattr(mem, "alias_size_in_bytes", 0)
         report["per_device_hbm_gb"] = round(
             (mem.argument_size_in_bytes + mem.output_size_in_bytes
-             + mem.temp_size_in_bytes) / 2**30, 2)
+             + mem.temp_size_in_bytes - alias) / 2**30, 2)
         report["temp_gb"] = round(mem.temp_size_in_bytes / 2**30, 2)
     print("phase A (7B compile):", report)
+    del params7, opt7, batch, compiled
 
     # ---- Phase B: real step at 7B width, 2 layers ----
     cfg2 = build_cfg(2)
@@ -164,7 +169,7 @@ def main():
     optimizer, specs, step = trainer_pieces(cfg2, params, mesh)
     params = shard_params(params, mesh, specs)
     opt_state = optimizer.init(params)
-    batch = shard_batch(batch_for(cfg2), mesh)
+    batch = shard_batch(batch_for(cfg2, BATCH_EXEC, TEXT_LEN_EXEC), mesh)
     with mesh:
         params, opt_state, metrics = step(
             params, opt_state, batch, jax.random.key(1), jnp.float32(1.0)
@@ -202,12 +207,12 @@ def main():
 
         return jax.jit(fn, in_shardings=(params_sh,) + (None,) * 10), specs
 
-    def serve_inputs(cfg):
+    def serve_inputs(cfg, text_len=TEXT_LEN):
         rng = np.random.default_rng(1)
         ids = []
         for _ in range(2):
             row = rng.integers(
-                3, cfg.text.vocab_size, size=(TEXT_LEN,)).astype(np.int64)
+                3, cfg.text.vocab_size, size=(text_len,)).astype(np.int64)
             row[2] = -200
             ids.append(row)
         from dynamic_llava_tpu.multimodal.fusion import plan_batch
@@ -247,13 +252,14 @@ def main():
     serve_jit2, specs2 = serve_args(cfg2, params2)
     params2 = shard_params(params2, mesh, specs2)
     with mesh:
-        logits, pre_len, post_len = serve_jit2(params2, *serve_inputs(cfg2))
+        logits, pre_len, post_len = serve_jit2(
+            params2, *serve_inputs(cfg2, TEXT_LEN_EXEC))
     logits = np.asarray(logits, np.float32)
     assert np.isfinite(logits).all()
     pre_len, post_len = np.asarray(pre_len), np.asarray(post_len)
     # dense tier holds the full fused prompt + 2 decode tokens; sparse tier
     # was image-pruned at prefill
-    fused = TEXT_LEN - 1 + cfg2.num_image_tokens
+    fused = TEXT_LEN_EXEC - 1 + cfg2.num_image_tokens
     assert (pre_len[0] == fused + 2).all(), pre_len
     assert (post_len[-1] < fused).all(), post_len
     report["phase_c_s"] = round(time.time() - t0, 1)

@@ -77,6 +77,7 @@ def build(args):
     )
     step = make_train_step(
         cfg, optimizer, remat=True, labels=label_params(params),
+        remat_policy=args.remat_policy,
     )
     opt_state = optimizer.init(params)
     return cfg, params, opt_state, step, batch, plan
@@ -125,6 +126,7 @@ def run_once(args):
         "mfu": round(mfu, 3),
         "loss": round(loss, 3),
         "flash_env": os.environ.get("DYNAMIC_LLAVA_FLASH", "auto"),
+        "remat_policy": args.remat_policy,
     }
 
 
@@ -137,6 +139,8 @@ def main():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--text-len", type=int, default=1088)
     p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--remat-policy", dest="remat_policy", default="nothing",
+                   choices=["nothing", "dots"])
     p.add_argument("--sweep", action="store_true",
                    help="time auto / force-Pallas / force-XLA dispatch")
     args = p.parse_args()
@@ -161,7 +165,8 @@ def main():
                "--hidden", str(args.hidden), "--ffn", str(args.ffn),
                "--layers", str(args.layers), "--heads", str(args.heads),
                "--batch", str(args.batch), "--text-len", str(args.text_len),
-               "--steps", str(args.steps)]
+               "--steps", str(args.steps),
+               "--remat-policy", args.remat_policy]
         out = subprocess.run(cmd, env=env, capture_output=True, text=True)
         line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
         print(f"flash={mode}: {line or out.stderr[-300:]}")

@@ -1,5 +1,10 @@
 """CLI-level end-to-end: checkpoint dir -> model_vqa_loader -> eval_pope."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
+
 import json
 import sys
 from pathlib import Path

@@ -2,6 +2,11 @@
 run_llava_for_ppl (single-query self-PPL), model_vqa_science_for_ppl
 (dataset self-PPL probe)."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
+
 import json
 import sys
 from pathlib import Path

@@ -1,5 +1,10 @@
 """Continuation prefill (E5) and no-cache eval (E4) regimes."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
+
 import dataclasses
 
 import numpy as np

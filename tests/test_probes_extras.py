@@ -2,6 +2,11 @@
 the three LVIS probes (the method's cache-shrinkage evidence), multimodal
 beam search, and grown-vocab generation after initialize_vision_tokenizer."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
+
 import json
 import sys
 from pathlib import Path

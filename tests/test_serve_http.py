@@ -1,5 +1,10 @@
 """Serving stack over real HTTP (stdlib servers) as a regression test."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
+
 import json
 import socket
 import sys

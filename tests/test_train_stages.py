@@ -2,6 +2,11 @@
 mm_projector_lr grouping, qlora (int-quantized frozen base + LoRA), and the
 frozen-subset gradient path."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
+
 import numpy as np
 import pytest
 
