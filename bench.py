@@ -143,8 +143,13 @@ def main():
     only = os.environ.get("BENCH_ONLY")
     if only:
         c = dense_config(cfg) if only == "dense" else cfg
+        # BENCH_CACHE_DTYPE=float8_e4m3fn halves KV-read bandwidth — the
+        # dominant traffic of the serving regime (opt-in; quality is a
+        # per-deployment call, logit cosine ~0.997 on the parity model)
+        cache_dtype = jnp.dtype(
+            os.environ.get("BENCH_CACHE_DTYPE", "bfloat16"))
         r = bench_config(params, c, batch=batch, text_len=text_len,
-                         new_tokens=new_tokens)
+                         new_tokens=new_tokens, cache_dtype=cache_dtype)
         print("BENCH_RESULT " + json.dumps(r))
         return
 

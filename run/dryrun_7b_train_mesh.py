@@ -143,14 +143,20 @@ def main():
     t0 = time.time()
     params7 = dynamic.init_llava_params(
         jax.random.key(0), cfg7, jnp.bfloat16)
+    params7 = jax.block_until_ready(params7)
+    print(f"  [A] init 7B params: {time.time()-t0:.0f}s", flush=True)
     optimizer, specs, step = trainer_pieces(cfg7, params7, mesh)
-    params7 = shard_params(params7, mesh, specs)
-    opt7 = optimizer.init(params7)
+    params7 = jax.block_until_ready(shard_params(params7, mesh, specs))
+    print(f"  [A] sharded: {time.time()-t0:.0f}s", flush=True)
+    opt7 = jax.block_until_ready(optimizer.init(params7))
+    print(f"  [A] opt init: {time.time()-t0:.0f}s", flush=True)
     batch = shard_batch(batch_for(cfg7), mesh)
     with mesh:
-        compiled = step.lower(
+        lowered = step.lower(
             params7, opt7, batch, jax.random.key(1), jnp.float32(1.0)
-        ).compile()
+        )
+        print(f"  [A] lowered: {time.time()-t0:.0f}s", flush=True)
+        compiled = lowered.compile()
     mem = compiled.memory_analysis()
     report["compile_7b_s"] = round(time.time() - t0, 1)
     if mem is not None:
