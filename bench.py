@@ -184,6 +184,10 @@ def main():
             "sparse": sparse,
             "dense": dense,
             "ttft_speedup": round(dense["ttft_ms"] / sparse["ttft_ms"], 4),
+            "ttft_device_speedup": round(
+                dense.get("ttft_device_ms", dense["ttft_ms"])
+                / max(sparse.get("ttft_device_ms", sparse["ttft_ms"]), 1e-9),
+                4),
         },
     }
     print(json.dumps(result))
@@ -228,6 +232,10 @@ def run_full():
             "dense": dense,
             "decode_speedup": round(sparse["decode_tok_s"] / dense["decode_tok_s"], 4),
             "ttft_speedup": round(dense["ttft_ms"] / sparse["ttft_ms"], 4),
+            "ttft_device_speedup": round(
+                dense.get("ttft_device_ms", dense["ttft_ms"])
+                / max(sparse.get("ttft_device_ms", sparse["ttft_ms"]), 1e-9),
+                4),
         }
 
     # headline: the flagship 7B batched KV-bound regime when it ran; the

@@ -133,6 +133,20 @@ def bench_config(
         times.append(time.perf_counter() - t0)
     ttft_ms = float(np.median(times) * 1e3)
 
+    # the axon tunnel's host round-trip floor (~29 ms measured) rides on
+    # every fetch-synced timing; report it and a device-side TTFT so the
+    # number is comparable to a locally-attached chip
+    noop = jax.jit(lambda x: x + 1.0)
+    z = jnp.zeros(())
+    _ = float(noop(z))
+    rtt_samples = []
+    for _rep in range(10):
+        t0 = time.perf_counter()
+        _ = float(noop(z))
+        rtt_samples.append(time.perf_counter() - t0)
+    rtt_ms = float(np.median(rtt_samples) * 1e3)
+    ttft_device_ms = max(ttft_ms - rtt_ms, 0.0)
+
     decode_many = make_decode_many(cfg, new_tokens).lower(
         params, state
     ).compile()
@@ -157,6 +171,8 @@ def bench_config(
     return {
         **mem,
         "ttft_ms": ttft_ms,
+        "rtt_floor_ms": rtt_ms,
+        "ttft_device_ms": ttft_device_ms,
         "decode_tok_s": float(decode_tok_s),
         "prefill_len": float(np.mean(np.asarray(plan.valid_len))),
         "post_cache_len_after_decode": post_len,

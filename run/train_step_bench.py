@@ -103,15 +103,16 @@ def run_once(args):
     loss = float(metrics["loss"])
     compile_s = time.time() - t0
 
-    times = []
+    # chain steps with ONE final fetch: the axon tunnel's host round-trip
+    # floor is ~29 ms (measured), which a per-step fetch would charge to
+    # every step; dispatch is async, so N chained steps sync once
+    t0 = time.time()
     for i in range(args.steps):
-        t0 = time.time()
         params, opt_state, metrics = step(
             params, opt_state, batch, jax.random.key(2 + i), jnp.float32(1.0)
         )
-        loss = float(metrics["loss"])
-        times.append(time.time() - t0)
-    ms = 1000 * min(times)
+    loss = float(metrics["loss"])
+    ms = 1000 * (time.time() - t0) / args.steps
 
     # fwd+bwd FLOPs: 6ND params + attention 12*B*S^2*hidden
     flops = 6.0 * n_params * tok + 12.0 * args.batch * fused * fused * args.hidden
