@@ -130,28 +130,33 @@ def trainer_pieces(cfg, params_or_shapes, mesh):
     return optimizer, specs, step
 
 
-def main():
-    mesh = make_mesh(data=2, fsdp=2, tensor=2)
-    report = {}
+def phase_a_full_7b_compile(mesh, report):
+    """Full 7B compile (real sharded buffers, no execution). Materialized —
+    not ShapeDtypeStructs — so the optimizer moments inherit the params'
+    sharding through computation-follows-data; bare shapes would treat the
+    opt state as replicated and inflate the memory analysis. Buffers are
+    numpy zeros (values are irrelevant for a compile, and per-leaf
+    jnp.zeros triggers one tiny XLA compile per distinct shape — measured
+    943 s for the 7B tree on this 1-core host)."""
+    from jax.sharding import NamedSharding
 
-    # ---- Phase A: full 7B compile (real sharded buffers, no execution) ----
-    # Materialized (not ShapeDtypeStructs) so the optimizer moments inherit
-    # the params' sharding through computation-follows-data — lowering from
-    # bare shapes would treat the opt state as replicated and inflate the
-    # memory analysis. ~41 GB host RAM, fits this box.
     cfg7 = build_cfg(32)
     t0 = time.time()
-    # compile-only phase: values are irrelevant, so zero-filled buffers
-    # (instant) replace a 7B random init (tens of minutes of single-core
-    # threefry); shapes/dtypes/shardings are the real thing
     shapes7 = jax.eval_shape(
         lambda k: dynamic.init_llava_params(k, cfg7, jnp.bfloat16),
         jax.random.key(0))
-    params7 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes7)
-    print(f"  [A] zero 7B params: {time.time()-t0:.0f}s", flush=True)
-    optimizer, specs, step = trainer_pieces(cfg7, params7, mesh)
-    params7 = jax.block_until_ready(shard_params(params7, mesh, specs))
-    print(f"  [A] sharded: {time.time()-t0:.0f}s", flush=True)
+    optimizer, specs, step = trainer_pieces(cfg7, shapes7, mesh)
+    import ml_dtypes
+
+    def np_zero(shape_struct, spec):
+        npdt = (np.dtype(ml_dtypes.bfloat16)
+                if shape_struct.dtype == jnp.bfloat16
+                else shape_struct.dtype)
+        return jax.device_put(
+            np.zeros(shape_struct.shape, npdt), NamedSharding(mesh, spec))
+
+    params7 = jax.tree.map(np_zero, shapes7, specs)
+    print(f"  [A] zero+sharded 7B params: {time.time()-t0:.0f}s", flush=True)
     opt7 = jax.block_until_ready(optimizer.init(params7))
     print(f"  [A] opt init: {time.time()-t0:.0f}s", flush=True)
     batch = shard_batch(batch_for(cfg7), mesh)
@@ -169,8 +174,13 @@ def main():
             (mem.argument_size_in_bytes + mem.output_size_in_bytes
              + mem.temp_size_in_bytes - alias) / 2**30, 2)
         report["temp_gb"] = round(mem.temp_size_in_bytes / 2**30, 2)
-    print("phase A (7B compile):", report)
-    del params7, opt7, batch, compiled
+    print("phase A (7B compile):", report, flush=True)
+
+
+def main():
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    report = {}
+
 
     # ---- Phase B: real step at 7B width, 2 layers ----
     cfg2 = build_cfg(2)
@@ -275,7 +285,11 @@ def main():
     report["phase_c_s"] = round(time.time() - t0, 1)
     report["phase_c_post_len"] = int(post_len[-1][0])
     print("phase C (7B-width sharded serve): pre", pre_len[0].tolist(),
-          "post", post_len[-1].tolist())
+          "post", post_len[-1].tolist(), flush=True)
+    del params2
+
+    if "--skip-full-compile" not in sys.argv:
+        phase_a_full_7b_compile(mesh, report)
     print(json.dumps(report))
 
 
