@@ -96,7 +96,12 @@ def bench_config(
     )
 
     def prefill_fn(params, cache, *a):
-        state, _ = dynamic.prefill(params, cfg, *a, cache)
+        # every bench sample carries exactly one image, so the compacted
+        # sequence may be truncated to S - N_img + K — without this static
+        # promise the mixed-batch guard keeps layers >= sparse_layer at the
+        # full length and the prefill speedup vanishes
+        state, _ = dynamic.prefill(params, cfg, *a, cache,
+                                   all_have_image=True)
         return state
 
     def fresh_cache():
@@ -104,7 +109,8 @@ def bench_config(
         # program temp and the scan carry needs a second copy — together
         # ~1.5 GB that doesn't fit next to 7B weights on one chip
         return dynamic.make_gen_cache(
-            cfg, plan.batch, plan.seq_len, new_tokens, cache_dtype
+            cfg, plan.batch, plan.seq_len, new_tokens, cache_dtype,
+            all_have_image=True,
         )
 
     # AOT-compile so the compiled handles stay available for XLA memory

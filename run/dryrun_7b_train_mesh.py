@@ -10,9 +10,10 @@ A. Compile the FULL 7B sparse train step — real recipe: grad_accum=2,
    i.e. the per-device HBM the same program would need on a v5e-8.
 
 B. Execute one real step at 7B width (hidden 4096 / heads 32 / ffn 11008)
-   with num_hidden_layers=2: the decoder is a scan over stacked layers, so
-   the compiled program is the SAME program as 7B modulo the stack's
-   leading dim — this validates numerics at real width on host RAM.
+   with num_hidden_layers=4 (2 below + 2 above the sparse layer, so both
+   cache tiers exist): the decoder is a scan over stacked layers, so the
+   compiled program is the SAME program as 7B modulo the stack's leading
+   dim — this validates numerics at real width on host RAM.
 
 C. Serving: compile the FULL 7B sharded prefill (vision tower -> fusion ->
    top-k prune -> tiered cache) from shapes on the same mesh, then execute
@@ -178,7 +179,16 @@ def phase_a_full_7b_compile(mesh, report):
 
 
 def main():
+    # Full 8-device mesh for the compile phase. The EXECUTING phases use a
+    # 2-device (fsdp=2) mesh: XLA's CPU collectives run device programs on
+    # a shared pool sized by core count (1 here), so a device parks at its
+    # first allgather while every other device's pre-collective segment
+    # runs sequentially — with 8 devices the replicated vision-tower
+    # forward alone exceeds the hardcoded 40 s rendezvous termination
+    # timeout. With 2 devices the partner is one segment away.
     mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    mesh_exec = make_mesh(data=1, fsdp=2, tensor=1,
+                          devices=jax.devices()[:2])
     report = {}
 
 
@@ -186,11 +196,12 @@ def main():
     cfg2 = build_cfg(2)
     t0 = time.time()
     params = dynamic.init_llava_params(jax.random.key(0), cfg2, jnp.bfloat16)
-    optimizer, specs, step = trainer_pieces(cfg2, params, mesh)
-    params = shard_params(params, mesh, specs)
+    optimizer, specs, step = trainer_pieces(cfg2, params, mesh_exec)
+    params = shard_params(params, mesh_exec, specs)
     opt_state = optimizer.init(params)
-    batch = shard_batch(batch_for(cfg2, BATCH_EXEC, TEXT_LEN_EXEC), mesh)
-    with mesh:
+    batch = shard_batch(batch_for(cfg2, BATCH_EXEC, TEXT_LEN_EXEC),
+                        mesh_exec)
+    with mesh_exec:
         params, opt_state, metrics = step(
             params, opt_state, batch, jax.random.key(1), jnp.float32(1.0)
         )
@@ -206,10 +217,10 @@ def main():
 
     from dynamic_llava_tpu.ops.kv_cache import init_tiered_cache
 
-    def serve_args(cfg, params):
+    def serve_args(cfg, params, m):
         specs = llava_param_specs(cfg, params)
         to_sh = lambda tree: jax.tree.map(  # noqa: E731
-            lambda s: NamedSharding(mesh, s), tree,
+            lambda s: NamedSharding(m, s), tree,
             is_leaf=lambda x: isinstance(x, P))
         params_sh = to_sh(specs)
 
@@ -255,31 +266,38 @@ def main():
         )
 
     t0 = time.time()
+    cfg7 = build_cfg(32)
     shapes7 = jax.eval_shape(
         lambda k: dynamic.init_llava_params(k, cfg7, jnp.bfloat16),
         jax.random.key(0))
-    serve_jit, _ = serve_args(cfg7, shapes7)
+    serve_jit, _ = serve_args(cfg7, shapes7, mesh)
     args7 = serve_inputs(cfg7)
     arg_shapes = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), args7)
     with mesh:
         serve_jit.lower(shapes7, *arg_shapes).compile()
     report["serve_compile_7b_s"] = round(time.time() - t0, 1)
-    print("phase C: full 7B sharded prefill+decode compiles")
+    print("phase C: full 7B sharded prefill+decode compiles", flush=True)
 
     t0 = time.time()
-    params2 = dynamic.init_llava_params(jax.random.key(0), cfg2, jnp.bfloat16)
-    serve_jit2, specs2 = serve_args(cfg2, params2)
-    params2 = shard_params(params2, mesh, specs2)
-    with mesh:
+    # 4 layers here (vs 2 for the train step): the sparse tier needs layers
+    # above sparse_layer to exist. Serving segments between collectives are
+    # per-layer, so the depth does not trip the 40 s rendezvous limit the
+    # way the train step's fused bwd segments do.
+    cfg_c = build_cfg(4)
+    params2 = dynamic.init_llava_params(
+        jax.random.key(0), cfg_c, jnp.bfloat16)
+    serve_jit2, specs2 = serve_args(cfg_c, params2, mesh_exec)
+    params2 = shard_params(params2, mesh_exec, specs2)
+    with mesh_exec:
         logits, pre_len, post_len = serve_jit2(
-            params2, *serve_inputs(cfg2, TEXT_LEN_EXEC))
+            params2, *serve_inputs(cfg_c, TEXT_LEN_EXEC))
     logits = np.asarray(logits, np.float32)
     assert np.isfinite(logits).all()
     pre_len, post_len = np.asarray(pre_len), np.asarray(post_len)
     # dense tier holds the full fused prompt + 2 decode tokens; sparse tier
     # was image-pruned at prefill
-    fused = TEXT_LEN_EXEC - 1 + cfg2.num_image_tokens
+    fused = TEXT_LEN_EXEC - 1 + cfg_c.num_image_tokens
     assert (pre_len[0] == fused + 2).all(), pre_len
     assert (post_len[-1] < fused).all(), post_len
     report["phase_c_s"] = round(time.time() - t0, 1)
