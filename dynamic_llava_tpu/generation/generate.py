@@ -169,9 +169,16 @@ class Generator:
             for i in range(b)
         ] if stopping_criteria is not None else None
         decode_chunk = self._decode_chunk_fn(chunk)
-        for _ in range(n_chunks):
-            rng, krng = jax.random.split(rng)
-            state, toks = decode_chunk(self.params, state, krng)
+        # pipelined chunks: chunk k+1 is DISPATCHED before chunk k's tokens
+        # are fetched, so the host round-trip (~29 ms through the tunnel)
+        # overlaps device compute instead of stalling it. On early exit the
+        # speculative chunk's work is discarded with the state.
+        rng, krng = jax.random.split(rng)
+        state, toks = decode_chunk(self.params, state, krng)
+        for ci in range(n_chunks):
+            if ci + 1 < n_chunks:
+                rng, krng = jax.random.split(rng)
+                next_state, next_toks = decode_chunk(self.params, state, krng)
             toks_np = np.asarray(toks)  # [chunk, B] — ONE host sync per chunk
             for i in range(b):
                 if done[i]:
@@ -196,6 +203,8 @@ class Generator:
                     on_chunk(i, fresh)
             if done.all():
                 break
+            if ci + 1 < n_chunks:
+                state, toks = next_state, next_toks
         return out
 
     def generate_anyres(

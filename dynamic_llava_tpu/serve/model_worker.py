@@ -204,9 +204,15 @@ class ModelWorker:
         generated: list = []
         eos = tokenizer.eos_token_id
         done = False
-        for _ in range(n_chunks):
-            rng, krng = jax.random.split(rng)
-            state, toks = decode_chunk(gen.params, state, krng)
+        # pipelined: dispatch chunk k+1 before fetching chunk k's tokens so
+        # the host round-trip + detokenize overlap device compute (same
+        # pattern as Generator.generate)
+        rng, krng = jax.random.split(rng)
+        state, toks = decode_chunk(gen.params, state, krng)
+        for ci in range(n_chunks):
+            if ci + 1 < n_chunks:
+                rng, krng = jax.random.split(rng)
+                next_state, next_toks = decode_chunk(gen.params, state, krng)
             toks_np = np.asarray(toks)[:, 0]  # one host sync per chunk
             text = None
             for t in toks_np:
@@ -234,6 +240,8 @@ class ModelWorker:
                 ).encode() + b"\0"
             if done:
                 break
+            if ci + 1 < n_chunks:
+                state, toks = next_state, next_toks
         text = tokenizer.decode(generated, skip_special_tokens=True)
         if stop_str and text.endswith(stop_str):
             text = text[: -len(stop_str)]
