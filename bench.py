@@ -4,23 +4,27 @@ Measures sparse (vision keep 0.2 + output-text keep 0.5) vs dense decode
 throughput and prefill TTFT on the same random-initialized weights, on
 whatever accelerator JAX sees (real TPU under the driver).
 
-Two configurations by default:
-  * ``7b``      — LLaVA-1.5-7B, batch 1 (flagship latency; decode is weight-
-                  bandwidth-bound on one chip, so the sparse/dense ratio is
-                  small by physics — ~82% of the HBM roofline either way).
-  * ``serving`` — 1B proxy (~ one v5e-8 shard of the sharded 7B), batch 32,
-                  512-token generations: the KV-bandwidth-dominated regime
-                  the method targets. The sparse tier is capacity-bounded at
-                  keep_rate x max_new, so the ratio reflects real pruning.
+Three configurations by default:
+  * ``7b``       — LLaVA-1.5-7B, batch 1 (flagship latency; decode is
+                   weight-bandwidth-bound on one chip, so the sparse/dense
+                   ratio is small by physics — ~82% of the HBM roofline
+                   either way).
+  * ``serving``  — 1B proxy (~ one v5e-8 shard of the sharded 7B), batch
+                   32, 512-token generations: the KV-bandwidth-dominated
+                   regime the method targets.
+  * ``7b_batch`` — the flagship KV-bound regime: 7B int8 weights, batch 8,
+                   512-token generations. This arm is the headline
+                   value/vs_baseline when it runs.
 
-The primary value/vs_baseline is the serving ratio (the north-star metric);
-the 7B numbers ride in ``detail``. Every arm runs in its own subprocess
-(7B leaves <2.3 GB HBM headroom; allocator state must not accumulate).
+Every arm runs in its own subprocess (7B leaves <2.3 GB HBM headroom;
+allocator state must not accumulate).
 
 Env knobs:
-  BENCH_MODE    = full | 7b | serving   (default full)
-  BENCH_MODEL   = 7b | 1b | small (single-config override)
+  BENCH_MODE    = full | single   (default full)
+  BENCH_MODEL   = 7b | 13b | 1b | small (single-config override)
   BENCH_BATCH / BENCH_TOKENS / BENCH_TEXT = ints
+  BENCH_QUANT   = int8 | int4 (weight quantization)
+  BENCH_CACHE_DTYPE = bfloat16 | float8_e4m3fn (KV storage)
 """
 
 import dataclasses
