@@ -186,6 +186,13 @@ def phase_a_full_7b_compile(mesh, report):
 
 
 def main():
+    if "--only-full-compile" in sys.argv:
+        mesh = make_mesh(data=2, fsdp=2, tensor=2)
+        report = {}
+        phase_a_full_7b_compile(mesh, report)
+        print(json.dumps(report))
+        return
+
     # Full 8-device mesh for the compile phase. The EXECUTING phases use a
     # 2-device (fsdp=2) mesh: XLA's CPU collectives run device programs on
     # a shared pool sized by core count (1 here), so a device parks at its
