@@ -114,6 +114,11 @@ def embed_tokens(params, ids: jax.Array) -> jax.Array:
 def lm_head(params, cfg: LlamaConfig, x: jax.Array) -> jax.Array:
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
     w = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
+    if (isinstance(w, dict) and "q4" in w
+            and not cfg.tie_word_embeddings):
+        from ..ops.quant import matmul_q4
+
+        return matmul_q4(x, w, out_fp32=True)
     if isinstance(w, dict):
         from ..ops.quant import dequantize_weight
 

@@ -24,29 +24,34 @@ QUANT_TARGETS = ("q", "k", "v", "o", "gate", "up", "down")
 
 def pack_int4(q: jax.Array) -> jax.Array:
     """Pack int4-valued (int8-stored) numbers into nibble pairs along the
-    LAST axis: element 2k in the low nibble, 2k+1 in the high nibble.
+    LAST axis, split-half layout: element k rides the LOW nibble of byte k,
+    element n/2+k the HIGH nibble (n = last-dim size).
 
     Packed int8 is THIS REPO'S at-rest int4 format. ``jnp.int4`` buffers
     cannot be jit arguments or host-read through the axon TPU tunnel
     (jax-internal recursion / UNIMPLEMENTED), and packed nibbles read the
-    same 0.5 bytes/weight from HBM — the consumer unpacks in-kernel with
-    two shifts that XLA fuses into the dequantizing matmul."""
+    same 0.5 bytes/weight from HBM. Split-half (not interleaved!) so the
+    unpack is two shifts + a CONCAT of contiguous slices — an interleaved
+    layout needs stride-2 lane access and a reshuffle, which breaks XLA's
+    dequant-into-matmul fusion on TPU (measured: 13B int4 decode 3.9 tok/s
+    interleaved)."""
     q = jnp.asarray(q, jnp.int8)
     if q.shape[-1] % 2:
         raise ValueError(f"last dim must be even, got {q.shape}")
-    lo = q[..., 0::2] & 0x0F
-    hi = jnp.left_shift(q[..., 1::2] & 0x0F, 4)
+    half = q.shape[-1] // 2
+    lo = q[..., :half] & 0x0F
+    hi = jnp.left_shift(q[..., half:] & 0x0F, 4)
     return (lo | hi).astype(jnp.int8)
 
 
 def unpack_int4(packed: jax.Array) -> jax.Array:
     """Inverse of ``pack_int4``: nibble pairs -> int8-stored int4 values,
-    last axis restored to 2x. jit-able; two shifts sign-extend."""
+    last axis restored to 2x. jit-able; the shifts sign-extend and the two
+    halves concatenate back in order."""
     packed = packed.astype(jnp.int8)
     lo = jnp.left_shift(packed, 4) >> 4
     hi = packed >> 4
-    pair = jnp.stack([lo, hi], axis=-1)  # [..., n, 2]
-    return pair.reshape(packed.shape[:-1] + (2 * packed.shape[-1],))
+    return jnp.concatenate([lo, hi], axis=-1)
 
 
 def _quantize_2d(w: jax.Array, axis: int, bits: int = 8) -> dict:
@@ -83,6 +88,27 @@ def quantize_weight(w: jax.Array, axis: int = 0, bits: int = 8) -> dict:
     if w.ndim == 3:
         return _quantize_3d(w, axis, bits)
     return _quantize_2d_jit(w, axis, bits)
+
+
+def matmul_q4(x: jax.Array, leaf: dict, out_fp32: bool = False) -> jax.Array:
+    """x @ W for a packed-int4 leaf WITHOUT materializing the dequantized
+    weights: the split-half layout makes each nibble a contiguous half of
+    the OUTPUT columns, so y = concat(x @ deq(lo), x @ deq(hi)) — each
+    half's shift+scale is elementwise on the packed buffer and fuses into
+    its matmul exactly like the int8 convert does. (A single materialized
+    dequant ran 13B decode at 24 tok/s — the bf16 write+read tripled the
+    weight traffic.)"""
+    p, s = leaf["q4"], leaf["s"]
+    half = p.shape[-1]
+    s_lo = s[..., :half].astype(x.dtype)
+    s_hi = s[..., half:].astype(x.dtype)
+    lo = (jnp.left_shift(p, 4) >> 4).astype(x.dtype) * s_lo
+    hi = (p >> 4).astype(x.dtype) * s_hi
+    acc = jnp.float32 if out_fp32 else None
+    return jnp.concatenate([
+        jnp.einsum("...i,io->...o", x, lo, preferred_element_type=acc),
+        jnp.einsum("...i,io->...o", x, hi, preferred_element_type=acc),
+    ], axis=-1)
 
 
 def dequantize_weight(leaf, dtype=jnp.bfloat16) -> jax.Array:
@@ -163,16 +189,25 @@ def init_quantized_llama_params(key, cfg, targets: Sequence[str] = QUANT_TARGETS
         )
         if quantize and leaf.ndim >= 2:
             qmax = 127 if bits == 8 else 7
-            q = jax.random.randint(
-                next(ks), leaf.shape, -qmax, qmax + 1, dtype=jnp.int32
-            ).astype(jnp.int8)
             # scale so dequantized stddev ~ 0.02 (uniform int std ~ qmax/sqrt3)
             s_shape = list(leaf.shape)
             axis = 0 if name == "lm_head" else leaf.ndim - 2
             s_shape[axis] = 1
             s = jnp.full(s_shape, 0.02 / (qmax / 1.732), jnp.bfloat16)
             if bits == 4:
-                return {"q4": pack_int4(q), "s": s}
+                # random bytes ARE random nibble pairs: generating unpacked
+                # int8 then packing doubles the transient footprint (a 13B
+                # int8 tree next to its packed half OOMs the chip)
+                packed_shape = leaf.shape[:-1] + (leaf.shape[-1] // 2,)
+                q4 = jax.random.randint(
+                    next(ks), packed_shape, -128, 128, dtype=jnp.int8
+                )
+                return {"q4": q4, "s": s}
+            # int8 directly: an int32 intermediate for a 13B stacked leaf
+            # ([40, 5120, 13824]) is 11.3 GB and OOMs the chip during init
+            q = jax.random.randint(
+                next(ks), leaf.shape, -qmax, qmax + 1, dtype=jnp.int8
+            )
             return {"q": q, "s": s}
         if name.endswith("_ln") or name == "final_ln":
             return jnp.ones(leaf.shape, jnp.bfloat16)

@@ -73,11 +73,16 @@ def lora_proj(lp: dict, name: str, x: jax.Array) -> jax.Array:
     int8 or packed-int4 quantized dict leaf (ops.quant): the dequant
     convert/shifts fuse into the matmul."""
     w = lp[name]
-    if isinstance(w, dict):
-        from ..ops.quant import dequantize_weight
+    if isinstance(w, dict) and "q4" in w:
+        from ..ops.quant import matmul_q4
 
-        w = dequantize_weight(w, x.dtype)
-    y = x @ w
+        y = matmul_q4(x, w)
+    else:
+        if isinstance(w, dict):
+            from ..ops.quant import dequantize_weight
+
+            w = dequantize_weight(w, x.dtype)
+        y = x @ w
     lora = lp.get(f"{name}_lora")
     if lora is not None:
         y = y + ((x @ lora["a"]) @ lora["b"]) * lora["s"]
