@@ -273,8 +273,10 @@ def prefill_continue(
     positions/lengths advance by the valid count, and the returned logits
     come from each sample's last valid token. Padding rows attend freely
     (causal keeps valid rows from seeing them — padding sits at the tail)
-    but their outputs are discarded. Omitted = every chunk fully valid,
-    which reproduces the reference's B==1 chat regime batched."""
+    but their outputs are discarded. A chunk_len of 0 makes that sample a
+    no-op (nothing persisted, positions unchanged, logits garbage). Omitted
+    = every chunk fully valid, which reproduces the reference's B==1 chat
+    regime batched."""
     tcfg, sparse = cfg.text, cfg.sparse
     b, m = token_ids.shape
     sl = sparse.sparse_layer
@@ -303,9 +305,14 @@ def prefill_continue(
         keep = tp[..., 0] > tp[..., 1]
         if valid is not None:
             keep = jnp.logical_and(keep, valid)
-            # last VALID token forced keep, per sample
-            batch_idx = jnp.arange(b, dtype=jnp.int32)
-            keep = keep.at[batch_idx, chunk_len - 1].set(True)
+            # last VALID token forced keep, per sample; a chunk_len==0 row
+            # forces nothing (an unguarded .at[b, -1] would wrap to column
+            # M-1 and persist a padding token into the sparse tier)
+            is_last_valid = (
+                jnp.arange(m, dtype=jnp.int32)[None, :]
+                == (chunk_len - 1)[:, None]
+            ) & (chunk_len >= 1)[:, None]
+            keep = keep | is_last_valid
         else:
             keep = keep.at[:, -1].set(True)  # last token forced keep
 
@@ -317,8 +324,12 @@ def prefill_continue(
     cache_post = d2.cache._replace(length=d2.cache.length + d2.kept[None, :])
 
     if chunk_len is not None:
+        # chunk_len==0 rows gather slot 0 (arbitrary but in-bounds); their
+        # positions/lengths advance by 0, so the state is a true no-op and
+        # the garbage logits are the caller's to ignore
+        last_idx = jnp.maximum(chunk_len - 1, 0)
         last = jnp.take_along_axis(
-            x, (chunk_len - 1)[:, None, None].astype(jnp.int32), axis=1
+            x, last_idx[:, None, None].astype(jnp.int32), axis=1
         )  # [B, 1, D]
         advance = chunk_len.astype(state.next_pos.dtype)
     else:
@@ -519,7 +530,7 @@ def forward_train(
 
     x = llama.run_layers_nocache(
         params["llm"], tcfg, x, positions, lo=0, hi=sl, remat=remat,
-        remat_policy=remat_policy,
+        remat_policy=remat_policy, training=True,
     )
 
     valid = positions < valid_len[:, None]
@@ -584,6 +595,7 @@ def forward_train(
         policy=policy if use_policy else None,
         remat=remat,
         remat_policy=remat_policy,
+        training=True,
     )
     logits = llama.lm_head(params["llm"], tcfg, x)
     return TrainForwardOut(

@@ -156,6 +156,7 @@ def layer_nocache(
     positions: jax.Array,  # [B, S]
     mask: Optional[jax.Array],  # [B, 1, S, S] bool or None for plain causal
     policy: Optional[jax.Array] = None,  # [B, S] soft keep mask (training)
+    training: bool = False,  # grad path: flash dispatches at the lower threshold
 ) -> jax.Array:
     b, s, d = x.shape
     h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
@@ -166,7 +167,7 @@ def layer_nocache(
         else:
             o = attend(q, k, v, mask=mask)
     else:
-        o = self_attend(q, k, v, policy=policy)
+        o = self_attend(q, k, v, policy=policy, training=training)
     x = x + lora_proj(lp, "o", o.reshape(b, s, -1))
     h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
     return x + _mlp(lp, h)
@@ -189,8 +190,11 @@ def run_layers_nocache(
     policy: Optional[jax.Array] = None,
     remat: bool = False,
     remat_policy: str = "nothing",
+    training: bool = False,
 ) -> jax.Array:
     """Run layers [lo, hi) without a KV cache (training / parity paths).
+    Grad callers must pass ``training=True`` so attention dispatches on the
+    training flash threshold even when no policy mask is active.
 
     ``remat_policy``: "nothing" recomputes the whole layer in the backward
     (minimum memory — the 7B regime); "dots" saves the weight-matmul
@@ -202,7 +206,7 @@ def run_layers_nocache(
 
     def body(x, li):
         lp = index_layer(layers, li)
-        return layer_nocache(lp, cfg, x, positions, mask, policy), None
+        return layer_nocache(lp, cfg, x, positions, mask, policy, training), None
 
     if remat:
         ckpt_policy = (

@@ -79,16 +79,21 @@ def self_attend(
     valid_len: Optional[jax.Array] = None,  # [B] — kv cols >= valid_len masked
     policy: Optional[jax.Array] = None,  # [B, S] soft keep mask (training)
     allow_flash: bool = True,
+    training: bool = False,
 ) -> jax.Array:
     """Causal self-attention dispatcher: Pallas flash kernel on TPU for the
     plain paths, XLA oracle elsewhere and for policy (training) attention.
     The flash kernel has a custom VJP (XLA-recompute backward), so it is
-    also used under grad."""
+    also used under grad.
+
+    ``training`` selects the lower flash threshold because the backward
+    pass also rides the kernel; it must be passed explicitly by grad paths
+    — a policy mask implies training, but dense-stage training and the
+    pre-sparse-tier layers run policy-free and would otherwise dispatch on
+    the inference threshold and miss the measured ~15% Pallas win."""
     b, s, h, d = q.shape
-    # a policy mask marks the training (Gumbel) path: its dispatch uses the
-    # lower training threshold because the backward also rides the kernel
     if allow_flash and flash_enabled(d, b * h * s * s * 4,
-                                     training=policy is not None):
+                                     training=training or policy is not None):
         if policy is None:
             from .flash_attention import flash_attention_vjp
 

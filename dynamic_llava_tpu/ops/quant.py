@@ -189,20 +189,30 @@ def init_quantized_llama_params(key, cfg, targets: Sequence[str] = QUANT_TARGETS
         )
         if quantize and leaf.ndim >= 2:
             qmax = 127 if bits == 8 else 7
-            # scale so dequantized stddev ~ 0.02 (uniform int std ~ qmax/sqrt3)
+            # scale so dequantized stddev ~ 0.02: discrete uniform on
+            # [-qmax, qmax] has std sqrt(((2*qmax+1)^2 - 1) / 12) — matching
+            # what quantize_llm_params produces on normal(0.02) weights
+            n_levels = 2 * qmax + 1
+            uniform_std = ((n_levels * n_levels - 1) / 12.0) ** 0.5
             s_shape = list(leaf.shape)
             axis = 0 if name == "lm_head" else leaf.ndim - 2
             s_shape[axis] = 1
-            s = jnp.full(s_shape, 0.02 / (qmax / 1.732), jnp.bfloat16)
+            s = jnp.full(s_shape, 0.02 / uniform_std, jnp.bfloat16)
             if bits == 4:
-                # random bytes ARE random nibble pairs: generating unpacked
-                # int8 then packing doubles the transient footprint (a 13B
-                # int8 tree next to its packed half OOMs the chip)
+                # draw each nibble HALF separately in [-qmax, qmax] (the real
+                # quantizer clips to ±7, never emits -8) and pack the halves
+                # arithmetically: transients stay at packed size per half, so
+                # a 13B tree never holds a full unpacked int8 copy
                 packed_shape = leaf.shape[:-1] + (leaf.shape[-1] // 2,)
-                q4 = jax.random.randint(
-                    next(ks), packed_shape, -128, 128, dtype=jnp.int8
+                k1, k2 = jax.random.split(next(ks))
+                lo = jax.random.randint(
+                    k1, packed_shape, -qmax, qmax + 1, dtype=jnp.int8
                 )
-                return {"q4": q4, "s": s}
+                hi = jax.random.randint(
+                    k2, packed_shape, -qmax, qmax + 1, dtype=jnp.int8
+                )
+                q4 = (lo & 0x0F) | jnp.left_shift(hi & 0x0F, 4)
+                return {"q4": q4.astype(jnp.int8), "s": s}
             # int8 directly: an int32 intermediate for a 13B stacked leaf
             # ([40, 5120, 13824]) is 11.3 GB and OOMs the chip during init
             q = jax.random.randint(

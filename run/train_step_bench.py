@@ -3,8 +3,10 @@
 Measures the full sparse train step (Gumbel policy attention + mask-ratio
 losses + per-layer remat + grouped optimizer) at configurable scale, and
 reports ms/step, tok/s, and MFU — counting BOTH the 6ND parameter FLOPs and
-the attention FLOPs (12*B*S^2*hidden fwd+bwd), so the number is not the 6ND
-undercount the round-1 table carried.
+the attention FLOPs (12*B*S^2*hidden*layers fwd+bwd; the per-layer factor
+was missing through round 2, under-counting attention work ~16x at the
+default depth), so the number is neither the 6ND undercount of round 1 nor
+the attention undercount of round 2.
 
 Sweep mode re-evaluates the flash-dispatch threshold at training shapes
 now that the Pallas backward kernels are real: --sweep times the step with
@@ -114,8 +116,12 @@ def run_once(args):
     loss = float(metrics["loss"])
     ms = 1000 * (time.time() - t0) / args.steps
 
-    # fwd+bwd FLOPs: 6ND params + attention 12*B*S^2*hidden
-    flops = 6.0 * n_params * tok + 12.0 * args.batch * fused * fused * args.hidden
+    # fwd+bwd FLOPs: 6ND params + attention 12*B*S^2*hidden PER LAYER
+    # (QK^T and PV run in every decoder layer — PaLM appendix B formula)
+    flops = (
+        6.0 * n_params * tok
+        + 12.0 * args.batch * fused * fused * args.hidden * args.layers
+    )
     mfu = flops / (ms / 1000) / V5E_PEAK_BF16
     return {
         "decoder_params_b": round(n_params / 1e9, 3),

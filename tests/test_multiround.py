@@ -228,3 +228,31 @@ def test_prefill_continue_ragged_then_decode():
             solo.append(int(tok[0]))
             st = dynamic.decode_step(params, cfg, tok, st)
         assert list(toks_batched[i]) == solo
+
+
+def test_prefill_continue_empty_chunk_is_noop():
+    """chunk_len==0 rows persist nothing and advance nothing (ADVICE r2: an
+    unguarded forced-keep wrapped to column M-1 and persisted padding)."""
+    cfg = _cfg(use_instruct_predictor=True)
+    params = dynamic.init_llava_params(jax.random.key(5), cfg)
+    rng = np.random.default_rng(5)
+    a = rng.integers(3, cfg.text.vocab_size, size=(2, 6))
+    plan_a = plan_batch(list(a), 0)
+    state, _ = _prefill(params, cfg, plan_a, None)
+    pre0 = np.asarray(state.cache.pre.length).copy()
+    post0 = np.asarray(state.cache.post.length).copy()
+
+    chunk = np.zeros((2, 4), np.int64)
+    chunk[0] = rng.integers(3, cfg.text.vocab_size, size=(4,))
+    state2 = dynamic.prefill_continue(
+        params, cfg, jnp.asarray(chunk), state,
+        chunk_len=jnp.asarray([4, 0], jnp.int32),
+    )
+    # sample 1: untouched (no persisted tokens, no position advance)
+    assert int(state2.cache.pre.length[0, 1]) == int(pre0[0, 1])
+    assert int(state2.cache.post.length[-1, 1]) == int(post0[-1, 1])
+    assert int(state2.next_pos[1]) == int(state.next_pos[1])
+    # sample 0: normal ragged behavior (>=1 kept: last token forced)
+    assert int(state2.cache.pre.length[0, 0]) == int(pre0[0, 0]) + 4
+    assert int(state2.cache.post.length[-1, 0]) >= int(post0[-1, 0]) + 1
+    assert np.isfinite(np.asarray(state2.last_logits[0])).all()

@@ -65,3 +65,25 @@ def test_transfer_quantized_params_tree():
     np.testing.assert_allclose(
         np.asarray(dequantize_weight(moved["layers"]["q"]), np.float32),
         np.asarray(dequantize_weight(leaf4), np.float32))
+
+
+def test_init_quantized_bits4_nibble_range_and_stats():
+    """Random int4 bench init must match the real quantizer's value range
+    (clips to ±7 — never -8) and dequantized stddev ~0.02 (ADVICE r2)."""
+    from dynamic_llava_tpu.config import LlamaConfig
+    from dynamic_llava_tpu.ops.quant import (
+        dequantize_weight,
+        init_quantized_llama_params,
+        unpack_int4,
+    )
+
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+    )
+    params = init_quantized_llama_params(jax.random.key(0), cfg, bits=4)
+    leaf = params["layers"]["q"]
+    nibbles = np.asarray(unpack_int4(leaf["q4"]))
+    assert nibbles.min() >= -7 and nibbles.max() <= 7
+    deq = np.asarray(dequantize_weight(leaf), np.float32)
+    assert abs(float(deq.std()) - 0.02) < 0.002
