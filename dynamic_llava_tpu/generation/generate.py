@@ -109,6 +109,64 @@ class Generator:
         self._decode_chunks[n_steps] = fn
         return fn
 
+    def _decode_chunk_stop_fn(self, n_steps: int, stop_seqs: tuple):
+        """Jitted chunked decode with IN-GRAPH stopping: ``stop_seqs`` is a
+        static tuple of stop token-id tuples (EOS is just a length-1 stop).
+        A rolling last-K-token history rides the scan carry; when a sample's
+        history suffix matches any stop sequence — or its emitted count
+        reaches the dynamic ``limit`` — the sample goes inactive and every
+        later step is a frozen no-op (``decode_step(active=...)``), so the
+        LIVE CACHE holds exactly the emitted tokens: the chunk loop can
+        overshoot a stop without corrupting multi-round chat state.
+
+        Returns (state, active, n_emit, toks [n_steps, B],
+        emitted [n_steps, B] — True where the token was produced while the
+        sample was still active; the stop-matching token itself is marked
+        emitted, mirroring the reference's streamed-then-truncated protocol
+        (serve/model_worker.py:162-264))."""
+        key = (n_steps, stop_seqs)
+        if key in self._decode_chunks:
+            return self._decode_chunks[key]
+        cfg, gc = self.cfg, self.gen_cfg
+        k_hist = max((len(s) for s in stop_seqs), default=1)
+        # pad stop sequences to the history length; -1 never matches a token
+        stop_mat = np.full((max(len(stop_seqs), 1), k_hist), -1, np.int32)
+        for i, seq in enumerate(stop_seqs):
+            stop_mat[i, k_hist - len(seq):] = seq
+        stop_valid = stop_mat >= 0
+
+        def chunk(params, state: dynamic.GenState, rng, active, hist, n_emit,
+                  limit):  # limit is dynamic: one program serves all max_new
+            smat = jnp.asarray(stop_mat)
+            svalid = jnp.asarray(stop_valid)
+
+            def body(carry, krng):
+                state, active, hist, n_emit = carry
+                tok = _sample(krng, state.last_logits, gc.temperature, gc.top_p)
+                state2 = dynamic.decode_step(params, cfg, tok, state,
+                                             active=active)
+                hist2 = jnp.concatenate(
+                    [hist[:, 1:], tok[:, None].astype(jnp.int32)], axis=1
+                )
+                # [B, n_stop, K]: positions either match or are padding
+                m = (hist2[:, None, :] == smat[None]) | ~svalid[None]
+                stop_hit = jnp.any(jnp.all(m, axis=-1), axis=-1)  # [B]
+                n_emit2 = n_emit + active.astype(jnp.int32)
+                active2 = active & ~stop_hit & (n_emit2 < limit)
+                # frozen samples keep their old history (their tok is garbage)
+                hist2 = jnp.where(active[:, None], hist2, hist)
+                return (state2, active2, hist2, n_emit2), (tok, active)
+
+            (state, active, hist, n_emit), (toks, emitted) = jax.lax.scan(
+                body, (state, active, hist, n_emit),
+                jax.random.split(rng, n_steps),
+            )
+            return state, active, hist, n_emit, toks, emitted
+
+        fn = jax.jit(chunk, donate_argnums=(1,))
+        self._decode_chunks[key] = (fn, k_hist)
+        return fn, k_hist
+
     def prefill_from_plan(self, plan: FusionPlan, pixel_values, max_new_tokens: int):
         cache_dtype = jnp.dtype(self.gen_cfg.cache_dtype)
         all_have_image = pixel_values is not None and bool(
@@ -262,9 +320,14 @@ class Generator:
         done = np.zeros(b, bool)
         rng = jax.random.key(gc.seed)
         decode_chunk = self._decode_chunk_fn(chunk)
-        for _ in range(n_chunks):
-            rng, krng = jax.random.split(rng)
-            state, toks = decode_chunk(self.params, state, krng)
+        # pipelined like ``generate``: chunk k+1 is dispatched before chunk
+        # k's tokens are fetched, hiding the host round-trip
+        rng, krng = jax.random.split(rng)
+        state, toks = decode_chunk(self.params, state, krng)
+        for ci in range(n_chunks):
+            if ci + 1 < n_chunks:
+                rng, krng = jax.random.split(rng)
+                next_state, next_toks = decode_chunk(self.params, state, krng)
             toks_np = np.asarray(toks)
             for i in range(b):
                 if done[i]:
@@ -280,6 +343,8 @@ class Generator:
                         break
             if done.all():
                 break
+            if ci + 1 < n_chunks:
+                state, toks = next_state, next_toks
         return out
 
     def cache_lengths(self, state: dynamic.GenState) -> np.ndarray:
@@ -299,7 +364,15 @@ class ChatSession:
     instruct chunk through the continuation path (E5) instead of
     re-prefilling the whole conversation — the reference's multi-round
     cache handling (dynamic_modeling_llama.py:2506-2521), batched and
-    chunked. Decoded tokens stream through the normal decode step.
+    chunked.
+
+    Decode rides the Generator's PIPELINED chunked on-device loop with
+    in-graph stopping (``_decode_chunk_stop_fn``): EOS and keyword stops
+    freeze the sample inside the scan, so the live cache holds exactly the
+    emitted tokens even though the host only syncs once per chunk — chat
+    tok/s matches the serving workers instead of paying the ~29 ms tunnel
+    round-trip per token. Arbitrary host-callable stopping criteria (no
+    ``keyword_ids``) fall back to the exact per-token path.
     """
 
     def __init__(self, generator: Generator, max_new_tokens_total: int = 2048):
@@ -310,15 +383,7 @@ class ChatSession:
             dynamic.prefill_continue, static_argnums=(1,)
         )
 
-    def ask(
-        self,
-        input_ids: np.ndarray,  # round 1: full prompt; later: the new chunk only
-        pixel_values: Optional[np.ndarray] = None,
-        stopping_criteria=None,
-        max_new_tokens: Optional[int] = None,
-    ) -> List[int]:
-        gc = self.gen.gen_cfg
-        max_new = max_new_tokens or gc.max_new_tokens
+    def _start_round(self, input_ids, pixel_values):
         if self.state is None:
             plan = plan_batch(
                 [input_ids],
@@ -344,6 +409,73 @@ class ChatSession:
                 self.gen.params, self.gen.cfg, jnp.asarray(ids[None]), self.state
             )
 
+    def ask(
+        self,
+        input_ids: np.ndarray,  # round 1: full prompt; later: the new chunk only
+        pixel_values: Optional[np.ndarray] = None,
+        stopping_criteria=None,
+        max_new_tokens: Optional[int] = None,
+        stop_sequences: Optional[List[List[int]]] = None,
+        on_chunk=None,  # callback(new_token_ids) for streaming
+    ) -> List[int]:
+        gc = self.gen.gen_cfg
+        max_new = max_new_tokens or gc.max_new_tokens
+        self._start_round(input_ids, pixel_values)
+
+        stop_seqs = [(gc.eos_token_id,)]
+        crit = stopping_criteria
+        if crit is not None and hasattr(crit, "keyword_ids"):
+            # KeywordsStoppingCriteria: its token sequences stop in-graph
+            stop_seqs += [tuple(int(t) for t in kid) for kid in crit.keyword_ids]
+            crit = None
+        if stop_sequences:
+            stop_seqs += [tuple(int(t) for t in s) for s in stop_sequences]
+        if crit is not None:
+            return self._ask_tokenwise(crit, max_new)
+
+        chunk = max(1, min(gc.decode_chunk, max_new))
+        fn, k_hist = self.gen._decode_chunk_stop_fn(
+            chunk, tuple(dict.fromkeys(stop_seqs))
+        )
+        params = self.gen.params
+        active = jnp.ones((1,), bool)
+        hist = jnp.full((1, k_hist), -1, jnp.int32)
+        n_emit = jnp.zeros((1,), jnp.int32)
+        limit = jnp.int32(max_new)
+        rng = jax.random.key(gc.seed)
+
+        out: List[int] = []
+        rng, krng = jax.random.split(rng)
+        cur = fn(params, self.state, krng, active, hist, n_emit, limit)
+        while True:
+            state_c, active_c, hist_c, n_emit_c, toks, emitted = cur
+            # speculative dispatch BEFORE fetching this chunk's tokens: the
+            # host round-trip overlaps device compute; if the chunk turned
+            # out to be final, the speculative chunk runs fully frozen and
+            # its returned state is identical — use it and stop
+            rng, krng = jax.random.split(rng)
+            nxt = fn(params, state_c, krng, active_c, hist_c, n_emit_c, limit)
+            toks_np = np.asarray(toks)[:, 0]
+            em_np = np.asarray(emitted)[:, 0]
+            fresh = [int(t) for t, e in zip(toks_np, em_np) if e]
+            out.extend(fresh)
+            if on_chunk is not None and fresh:
+                on_chunk(fresh)
+            if not bool(np.asarray(active_c)[0]):
+                self.state = nxt[0]
+                break
+            cur = nxt
+        # EOS is processed into the cache but excluded from the visible
+        # answer (keyword-stop tokens stay), matching the per-token protocol
+        if out and out[-1] == gc.eos_token_id:
+            out.pop()
+        return out
+
+    def _ask_tokenwise(self, stopping_criteria, max_new: int) -> List[int]:
+        """Exact per-token loop for arbitrary host-side stopping criteria
+        (one ~29 ms round-trip per token through the tunnel — prefer
+        KeywordsStoppingCriteria / stop_sequences, which run in-graph)."""
+        gc = self.gen.gen_cfg
         out: List[int] = []
         for _ in range(max_new):
             tok = int(np.argmax(np.asarray(self.state.last_logits[0])))

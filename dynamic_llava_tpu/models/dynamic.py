@@ -433,7 +433,14 @@ def decode_step(
     cfg: LlavaConfig,
     token: jax.Array,  # [B] next input token ids
     state: GenState,
+    active: Optional[jax.Array] = None,  # [B] bool — False freezes the sample
 ) -> GenState:
+    """``active=False`` samples are frozen no-ops: the token's K/V lands in
+    the (never-persisted) next slot, lengths/positions do not advance, and
+    ``last_logits`` keeps its previous value. This is what lets a chunked
+    on-device decode scan run past a sample's EOS without corrupting the
+    live cache — the chat/multi-round regime (reference streams one token
+    at a time instead, serve/model_worker.py:162-264)."""
     tcfg, sparse = cfg.text, cfg.sparse
     b = token.shape[0]
     sl = sparse.sparse_layer
@@ -464,6 +471,8 @@ def decode_step(
     if state.cache.post.num_layers > 0:
         post_budget = state.cache.post.max_len - 1
         keep = keep * (state.cache.post.length[0] < post_budget).astype(jnp.int32)
+    if active is not None:
+        keep = keep * active.astype(jnp.int32)
 
     d2 = llama.run_layers_decode(
         params["llm"], tcfg, x, pos, state.cache.post,
@@ -471,11 +480,18 @@ def decode_step(
     )
     x, cache_post = d2.x, d2.cache
 
-    cache = advance_tiered(TieredCache(pre=cache_pre, post=cache_post), keep)
+    cache = advance_tiered(
+        TieredCache(pre=cache_pre, post=cache_post), keep, active=active
+    )
     logits = llama.lm_head(params["llm"], tcfg, x)[:, 0]
+    if active is not None:
+        pos_inc = active.astype(state.next_pos.dtype)
+        logits = jnp.where(active[:, None], logits, state.last_logits)
+    else:
+        pos_inc = 1
     return GenState(
         cache=cache,
-        next_pos=state.next_pos + 1,
+        next_pos=state.next_pos + pos_inc,
         last_logits=logits,
     )
 

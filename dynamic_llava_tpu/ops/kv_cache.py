@@ -150,10 +150,21 @@ def advance_lengths(
     return length + inc
 
 
-def advance_tiered(cache: TieredCache, keep: jax.Array) -> TieredCache:
+def advance_tiered(
+    cache: TieredCache, keep: jax.Array, active: Optional[jax.Array] = None
+) -> TieredCache:
     """Pre tier always persists the token; post tier persists iff kept.
-    A dropped token's post-tier slot is overwritten by the next token."""
-    pre = cache.pre._replace(length=cache.pre.length + 1)
+    A dropped token's post-tier slot is overwritten by the next token.
+
+    ``active`` [B] bool gates the whole advance per sample: an inactive
+    sample persists nothing in either tier (its step is a no-op), which is
+    what lets a batched/chunked decode loop freeze finished samples without
+    corrupting their caches. Callers must also gate ``keep`` by activity."""
+    pre_inc = (
+        jnp.ones_like(cache.pre.length[0]) if active is None
+        else active.astype(jnp.int32)
+    )
+    pre = cache.pre._replace(length=cache.pre.length + pre_inc[None, :])
     post = cache.post._replace(
         length=cache.post.length + keep[None, :].astype(jnp.int32)
     )
