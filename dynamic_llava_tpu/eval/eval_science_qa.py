@@ -1,4 +1,13 @@
-"""ScienceQA scorer (reference /root/reference/llava/dynamic_eval/eval_science_qa.py)."""
+"""ScienceQA scorer.
+
+Scores answer JSONL against the ScienceQA problem set. The PARSE/SCORE
+rules are the benchmark's spec (reference
+/root/reference/llava/dynamic_eval/eval_science_qa.py: 'The answer is X.'
+extraction, leading-letter fallback, random choice for unparseable
+answers, overall + image-subset accuracy); the harness — structured
+``score_sqa`` returns, per-problem ``SqaJudgment`` records, report printer,
+thin CLI — is this repo's own, in the same idiom as ``eval_pope``.
+"""
 
 from __future__ import annotations
 
@@ -7,38 +16,12 @@ import json
 import os
 import random
 import re
+from typing import Dict, Iterable, List, NamedTuple, Optional, Sequence
+
+DEFAULT_OPTIONS = ("A", "B", "C", "D", "E")
 
 
-def get_args(argv=None):
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--base-dir", type=str)
-    parser.add_argument("--result-file", type=str)
-    parser.add_argument("--output-file", type=str)
-    parser.add_argument("--output-result", type=str)
-    parser.add_argument("--split", type=str, default="test")
-    parser.add_argument("--options", type=list,
-                        default=["A", "B", "C", "D", "E"])
-    return parser.parse_args(argv)
-
-
-def convert_caps(results):
-    fakecaps = []
-    for result in results:
-        image_id = result["question_id"]
-        caption = result["text"]
-        fakecaps.append({"image_id": image_id, "caption": caption})
-    return fakecaps
-
-
-def get_pred_idx(prediction: str, choices, options) -> int:
-    """Map the model's letter answer to a choice index; random on failure
-    (matching the reference's scoring of unparseable answers)."""
-    if prediction in options[: len(choices)]:
-        return options.index(prediction)
-    return random.choice(range(len(choices)))
-
-
-def parse_answer(text: str, options) -> str:
+def parse_answer(text: str, options=DEFAULT_OPTIONS) -> str:
     """Extract 'The answer is X.' or a bare leading option letter."""
     m = re.search(r"The answer is ([A-E])", text)
     if m:
@@ -57,72 +40,150 @@ def parse_strict_answer(text: str) -> str:
     return found[0] if len(found) == 1 else "FAILED"
 
 
-def main(argv=None):
-    args = get_args(argv)
-    base_dir = args.base_dir
-    split_indices = json.load(
-        open(os.path.join(base_dir, "pid_splits.json"))
-    )[args.split]
-    problems = json.load(open(os.path.join(base_dir, "problems.json")))
-    predictions = [json.loads(line) for line in open(args.result_file)]
-    predictions = {pred["question_id"]: pred for pred in predictions}
-    split_problems = {idx: problems[idx] for idx in split_indices}
+def get_pred_idx(prediction: str, choices, options=DEFAULT_OPTIONS) -> int:
+    """Map the model's letter answer to a choice index; random on failure
+    (matching the reference's scoring of unparseable answers)."""
+    if prediction in options[: len(choices)]:
+        return options.index(prediction)
+    return random.choice(range(len(choices)))
 
-    results = {"correct": [], "incorrect": []}
-    sqa_results = {
-        "acc": None, "correct": None, "count": None, "results": {},
-        "outputs": {},
+
+class SqaJudgment(NamedTuple):
+    """One scored problem."""
+
+    question_id: str
+    parsed_ans: str
+    pred_idx: int
+    ground_truth: str
+    question: str
+    pred: str
+    is_multimodal: bool
+    correct: bool
+
+    def analysis(self) -> Dict:
+        """The per-problem record the reference writes to --output-file."""
+        return {
+            "question_id": self.question_id,
+            "parsed_ans": self.parsed_ans,
+            "ground_truth": self.ground_truth,
+            "question": self.question,
+            "pred": self.pred,
+            "is_multimodal": self.is_multimodal,
+        }
+
+
+def judge_problem(
+    prob_id: str,
+    prob: Dict,
+    pred: Optional[Dict],
+    options: Sequence[str] = DEFAULT_OPTIONS,
+) -> SqaJudgment:
+    """Score one problem. A missing prediction counts as FAILED (and then a
+    random choice), per the reference protocol."""
+    pred = pred or {"text": "FAILED", "prompt": "Unknown"}
+    text = pred["text"]
+    answer = parse_answer(text, options)
+    idx = get_pred_idx(answer, prob["choices"], options)
+    return SqaJudgment(
+        question_id=prob_id,
+        parsed_ans=answer,
+        pred_idx=idx,
+        ground_truth=options[prob["answer"]],
+        question=pred.get("prompt", ""),
+        pred=text,
+        is_multimodal="<image>" in pred.get("prompt", ""),
+        correct=idx == prob["answer"],
+    )
+
+
+def score_sqa(
+    problems: Dict[str, Dict],
+    predictions: Dict[str, Dict],
+    options: Sequence[str] = DEFAULT_OPTIONS,
+) -> Dict:
+    """Judge every problem; returns {'acc', 'img_acc', 'correct', 'count',
+    'judgments'} (accuracies in percent, like the reference prints)."""
+    judgments = [
+        judge_problem(pid, prob, predictions.get(pid), options)
+        for pid, prob in problems.items()
+    ]
+    correct = sum(j.correct for j in judgments)
+    mm = [j for j in judgments if j.is_multimodal]
+    mm_correct = sum(j.correct for j in mm)
+    return {
+        "acc": 100.0 * correct / len(judgments) if judgments else 0.0,
+        "img_acc": 100.0 * mm_correct / len(mm) if mm else 0.0,
+        "correct": correct,
+        "count": len(judgments),
+        "img_correct": mm_correct,
+        "img_count": len(mm),
+        "judgments": judgments,
     }
 
-    for prob_id, prob in split_problems.items():
-        if prob_id not in predictions:
-            pred = {"text": "FAILED", "prompt": "Unknown"}
-            pred_text = "FAILED"
-        else:
-            pred = predictions[prob_id]
-            pred_text = pred["text"]
 
-        answer = parse_answer(pred_text, args.options)
-        pred_idx = get_pred_idx(answer, prob["choices"], args.options)
+def load_split(base_dir: str, split: str) -> Dict[str, Dict]:
+    with open(os.path.join(base_dir, "pid_splits.json")) as f:
+        split_indices = json.load(f)[split]
+    with open(os.path.join(base_dir, "problems.json")) as f:
+        problems = json.load(f)
+    return {idx: problems[idx] for idx in split_indices}
 
-        analysis = {
-            "question_id": prob_id,
-            "parsed_ans": answer,
-            "ground_truth": args.options[prob["answer"]],
-            "question": pred["prompt"],
-            "pred": pred_text,
-            "is_multimodal": "<image>" in pred["prompt"],
+
+def load_predictions(result_file: str) -> Dict[str, Dict]:
+    with open(result_file) as f:
+        preds = [json.loads(line) for line in f]
+    return {p["question_id"]: p for p in preds}
+
+
+def report(scores: Dict) -> None:
+    line = (
+        f"Total: {scores['count']}, Correct: {scores['correct']}, "
+        f"Accuracy: {scores['acc']:.2f}%"
+    )
+    if scores["img_count"]:
+        line += f", IMG-Accuracy: {scores['img_acc']:.2f}%"
+    print(line)
+
+
+def write_outputs(scores: Dict, output_file: Optional[str],
+                  output_result: Optional[str]) -> None:
+    """Persist the two reference-format artifacts: the correct/incorrect
+    analysis split and the sqa_results index."""
+    if output_file:
+        split = {"correct": [], "incorrect": []}
+        for j in scores["judgments"]:
+            split["correct" if j.correct else "incorrect"].append(j.analysis())
+        with open(output_file, "w") as f:
+            json.dump(split, f, indent=2)
+    if output_result:
+        sqa_results = {
+            "acc": scores["acc"],
+            "correct": scores["correct"],
+            "count": scores["count"],
+            "results": {j.question_id: j.pred_idx for j in scores["judgments"]},
+            "outputs": {j.question_id: j.pred for j in scores["judgments"]},
         }
-        sqa_results["results"][prob_id] = get_pred_idx(
-            answer, prob["choices"], args.options
-        )
-        sqa_results["outputs"][prob_id] = pred_text
-        if pred_idx == prob["answer"]:
-            results["correct"].append(analysis)
-        else:
-            results["incorrect"].append(analysis)
-
-    correct = len(results["correct"])
-    total = correct + len(results["incorrect"])
-
-    mm_correct = len([x for x in results["correct"] if x["is_multimodal"]])
-    mm_incorrect = len([x for x in results["incorrect"] if x["is_multimodal"]])
-    mm_total = mm_correct + mm_incorrect
-    print(f"Total: {total}, Correct: {correct}, "
-          f"Accuracy: {correct / total * 100:.2f}%, "
-          f"IMG-Accuracy: {mm_correct / mm_total * 100:.2f}%"
-          if mm_total else f"Total: {total}, Correct: {correct}")
-
-    sqa_results["acc"] = correct / total * 100
-    sqa_results["correct"] = correct
-    sqa_results["count"] = total
-
-    if args.output_file:
-        with open(args.output_file, "w") as f:
-            json.dump(results, f, indent=2)
-    if args.output_result:
-        with open(args.output_result, "w") as f:
+        with open(output_result, "w") as f:
             json.dump(sqa_results, f, indent=2)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--base-dir", type=str)
+    parser.add_argument("--result-file", type=str)
+    parser.add_argument("--output-file", type=str)
+    parser.add_argument("--output-result", type=str)
+    parser.add_argument("--split", type=str, default="test")
+    parser.add_argument("--options", nargs="+", default=list(DEFAULT_OPTIONS))
+    args = parser.parse_args(argv)
+
+    scores = score_sqa(
+        load_split(args.base_dir, args.split),
+        load_predictions(args.result_file),
+        args.options,
+    )
+    report(scores)
+    write_outputs(scores, args.output_file, args.output_result)
 
 
 if __name__ == "__main__":

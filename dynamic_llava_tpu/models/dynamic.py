@@ -502,7 +502,8 @@ def decode_step(
 
 
 class TrainForwardOut(NamedTuple):
-    logits: jax.Array  # [B, S, V] fp32
+    logits: Optional[jax.Array]  # [B, S, V] fp32 (None when return_hidden)
+    hidden: Optional[jax.Array]  # [B, S, D] final hidden (return_hidden only)
     image_mask: Optional[jax.Array]  # [B, S] gumbel keep over image slots (1 elsewhere)
     output_text_mask: Optional[jax.Array]  # [B, S]
     instruct_mask: Optional[jax.Array]  # [B, S]
@@ -529,9 +530,15 @@ def forward_train(
     gumbel_tau: jax.Array,
     remat: bool = True,
     remat_policy: str = "nothing",
+    return_hidden: bool = False,
 ) -> TrainForwardOut:
     """Full-sequence training forward with Gumbel policy masks
-    (reference T1/T2/T3, dynamic_modeling_llama.py:1824-2259)."""
+    (reference T1/T2/T3, dynamic_modeling_llama.py:1824-2259).
+
+    ``return_hidden=True`` skips the lm_head and returns the final hidden
+    states instead of logits, so the loss can run the blockwise-fused CE
+    (``train.losses.lm_cross_entropy_blockwise``) without the [B, S, V]
+    fp32 logits tensor ever existing."""
     tcfg, sparse = cfg.text, cfg.sparse
     b, s = plan_token_ids.shape
     n_img = cfg.num_image_tokens
@@ -613,9 +620,10 @@ def forward_train(
         remat_policy=remat_policy,
         training=True,
     )
-    logits = llama.lm_head(params["llm"], tcfg, x)
+    logits = None if return_hidden else llama.lm_head(params["llm"], tcfg, x)
     return TrainForwardOut(
         logits=logits,
+        hidden=x if return_hidden else None,
         image_mask=image_mask,
         output_text_mask=output_text_mask,
         instruct_mask=instruct_mask,

@@ -90,15 +90,39 @@ def quantize_weight(w: jax.Array, axis: int = 0, bits: int = 8) -> dict:
     return _quantize_2d_jit(w, axis, bits)
 
 
+def _q4_kernel_enabled() -> bool:
+    """Pallas single-read dequantizing matmul dispatch: the XLA split path
+    below reads every packed byte twice (~int8 traffic). Default: on for
+    real TPU. Override with DYNAMIC_LLAVA_Q4_KERNEL=0/1."""
+    import os
+
+    env = os.environ.get("DYNAMIC_LLAVA_Q4_KERNEL")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def matmul_q4(x: jax.Array, leaf: dict, out_fp32: bool = False) -> jax.Array:
     """x @ W for a packed-int4 leaf WITHOUT materializing the dequantized
-    weights: the split-half layout makes each nibble a contiguous half of
-    the OUTPUT columns, so y = concat(x @ deq(lo), x @ deq(hi)) — each
+    weights.
+
+    On TPU this dispatches to the Pallas kernel (``quant_matmul``), which
+    unpacks both nibbles from ONE read of each packed byte. The XLA
+    fallback uses the split-half layout: each nibble is a contiguous half
+    of the OUTPUT columns, so y = concat(x @ deq(lo), x @ deq(hi)) — each
     half's shift+scale is elementwise on the packed buffer and fuses into
-    its matmul exactly like the int8 convert does. (A single materialized
-    dequant ran 13B decode at 24 tok/s — the bf16 write+read tripled the
-    weight traffic.)"""
+    its matmul exactly like the int8 convert does, but the packed buffer
+    is streamed once per half. (A single materialized dequant ran 13B
+    decode at 24 tok/s — the bf16 write+read tripled the weight traffic.)"""
     p, s = leaf["q4"], leaf["s"]
+    if _q4_kernel_enabled():
+        from .quant_matmul import matmul_q4_pallas, q4_kernel_supported
+
+        if q4_kernel_supported(p.shape):
+            return matmul_q4_pallas(x, p, s, out_fp32=out_fp32)
     half = p.shape[-1]
     s_lo = s[..., :half].astype(x.dtype)
     s_hi = s[..., half:].astype(x.dtype)

@@ -65,3 +65,38 @@ def test_sqa_answer_parsing():
     assert parse_answer("A.", "ABCDE") == "A"
     assert parse_answer("(C) because...", "ABCDE") == "C"
     assert parse_answer("I don't know", "ABCDE") == "FAILED"
+
+
+def test_score_sqa_end_to_end(tmp_path):
+    """Full SQA scoring path: judgments, accuracy split, reference-format
+    output artifacts."""
+    import json
+
+    from dynamic_llava_tpu.eval.eval_science_qa import score_sqa, write_outputs
+
+    problems = {
+        "p1": {"choices": ["x", "y"], "answer": 1},
+        "p2": {"choices": ["x", "y", "z"], "answer": 0},
+        "p3": {"choices": ["x", "y"], "answer": 0},
+    }
+    predictions = {
+        "p1": {"text": "The answer is B.", "prompt": "<image> q1"},
+        "p2": {"text": "A. because", "prompt": "q2"},
+        # p3 missing -> FAILED -> random pick
+    }
+    scores = score_sqa(problems, predictions)
+    assert scores["count"] == 3
+    assert scores["correct"] >= 2  # p1, p2 parse correctly
+    assert scores["img_count"] == 1 and scores["img_correct"] == 1
+    by_id = {j.question_id: j for j in scores["judgments"]}
+    assert by_id["p1"].parsed_ans == "B" and by_id["p1"].correct
+    assert by_id["p2"].parsed_ans == "A" and by_id["p2"].correct
+    assert by_id["p3"].parsed_ans == "FAILED"
+
+    out_f = tmp_path / "out.json"
+    res_f = tmp_path / "res.json"
+    write_outputs(scores, str(out_f), str(res_f))
+    res = json.loads(res_f.read_text())
+    assert res["count"] == 3 and res["results"]["p1"] == 1
+    split = json.loads(out_f.read_text())
+    assert {a["question_id"] for a in split["correct"]} >= {"p1", "p2"}

@@ -87,3 +87,45 @@ def test_init_quantized_bits4_nibble_range_and_stats():
     assert nibbles.min() >= -7 and nibbles.max() <= 7
     deq = np.asarray(dequantize_weight(leaf), np.float32)
     assert abs(float(deq.std()) - 0.02) < 0.002
+
+
+def test_matmul_q4_pallas_matches_xla_oracle():
+    """Interpret-mode Pallas single-read dequant matmul vs the XLA split
+    path (the semantic oracle) across row regimes and out dtypes."""
+    from dynamic_llava_tpu.ops.quant import quantize_weight
+    from dynamic_llava_tpu.ops.quant_matmul import (
+        matmul_q4_pallas,
+        q4_kernel_supported,
+    )
+
+    rng = np.random.default_rng(7)
+    k_dim, out = 256, 512  # tiles: tk=256, tn=256
+    w = jnp.asarray(rng.normal(size=(k_dim, out)) * 0.02, jnp.bfloat16)
+    leaf = quantize_weight(w, axis=0, bits=4)
+    assert q4_kernel_supported(leaf["q4"].shape)
+
+    for rows in (1, 3, 70):
+        x = jnp.asarray(rng.normal(size=(rows, k_dim)), jnp.bfloat16)
+        # build the XLA oracle explicitly (kernel dispatch is platform-gated)
+        p, s = leaf["q4"], leaf["s"]
+        half = p.shape[-1]
+        lo = (jnp.left_shift(p, 4) >> 4).astype(x.dtype) * s[..., :half].astype(x.dtype)
+        hi = (p >> 4).astype(x.dtype) * s[..., half:].astype(x.dtype)
+        ref = jnp.concatenate([
+            jnp.einsum("ri,io->ro", x, lo), jnp.einsum("ri,io->ro", x, hi)
+        ], axis=-1)
+        got = matmul_q4_pallas(x, p, s, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
+        got32 = matmul_q4_pallas(x, p, s, out_fp32=True, interpret=True)
+        assert got32.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(got32), np.asarray(ref, np.float32), atol=2e-2, rtol=2e-2
+        )
+
+    # leading batch dims reshape correctly
+    x3 = jnp.asarray(rng.normal(size=(2, 5, k_dim)), jnp.bfloat16)
+    got3 = matmul_q4_pallas(x3, leaf["q4"], leaf["s"], interpret=True)
+    assert got3.shape == (2, 5, out)
