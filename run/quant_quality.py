@@ -1,0 +1,247 @@
+"""Quantization quality beyond cosine: PPL + scorer deltas per quant mode.
+
+Cosine similarity on random weights says little about end-task damage
+(VERDICT r2 weak #4). This harness produces the measurement the
+reference's bnb-4bit users get implicitly from benchmark tables:
+
+1. Overfit a small model on a synthetic POPE-style yes/no QA corpus
+   (the trained-checkpoint stand-in — no public weights are downloadable
+   in this environment).
+2. For each mode — bf16, int8, packed-int4, bf16+fp8-KV — measure:
+   * teacher-forced answer PPL through the REAL decode path (prefill +
+     per-token decode against the tiered cache, so fp8-KV storage and the
+     quantized matmuls are both on the measured path), and
+   * POPE-scorer accuracy/F1 of greedy generations (eval_pope.score_pope).
+
+Prints one JSON line per mode and a summary table. CPU-runnable:
+
+  python run/quant_quality.py --steps 150          # full table (~10 min CPU)
+  python run/quant_quality.py --steps 8 --pairs 8  # smoke
+
+Reference protocol analogue: bnb 4/8-bit loading
+(/root/reference/llava/model/dynamic_llava_builder.py:51-60) scored by the
+same eval harnesses as full precision.
+"""
+
+import argparse
+import copy
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+# tiny word-level vocabulary; ids map 1:1 to words
+VOCAB = (
+    "<pad> <s> </s> Q A yes no is there a dog cat tree car red blue big "
+    "small on under one two ? ."
+).split()
+YES, NO = VOCAB.index("yes"), VOCAB.index("no")
+
+
+def build_corpus(n_pairs: int, seed: int = 0):
+    """POPE-style: 'Q is there a <obj> ?' -> yes/no by a fixed rule the
+    model must memorize (object parity)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    objs = [VOCAB.index(w) for w in
+            ("dog", "cat", "tree", "car", "red", "blue", "big", "small")]
+    prompts, answers, labels_txt = [], [], []
+    for i in range(n_pairs):
+        obj = objs[i % len(objs)]
+        q = [1, VOCAB.index("Q"), VOCAB.index("is"), VOCAB.index("there"),
+             VOCAB.index("a"), obj, VOCAB.index("?"),
+             VOCAB.index("A")]
+        ans = YES if (i % 2 == 0) else NO
+        prompts.append(np.asarray(q, np.int64))
+        answers.append(np.asarray([ans, 2], np.int64))  # answer + </s>
+        labels_txt.append("yes" if ans == YES else "no")
+    return prompts, answers, labels_txt
+
+
+def train_tiny(cfg, prompts, answers, steps: int, seed: int = 0):
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from dynamic_llava_tpu.models import dynamic
+    from dynamic_llava_tpu.multimodal.fusion import plan_batch
+    from dynamic_llava_tpu.train.optimizer import label_params, make_optimizer
+    from dynamic_llava_tpu.train.step import batch_from_plan, make_train_step
+
+    params = dynamic.init_llava_params(jax.random.key(seed), cfg, jnp.float32)
+    ids, labels = [], []
+    for p, a in zip(prompts, answers):
+        row = np.concatenate([p, a])
+        lab = row.copy()
+        lab[: len(p)] = -100
+        ids.append(row)
+        labels.append(lab)
+    plan = plan_batch(ids, 0, labels_list=labels)
+    batch = batch_from_plan(plan, None)
+    opt = make_optimizer(base_lr=3e-3, predictor_lr=3e-3)
+    step = make_train_step(cfg, opt, remat=False, labels=label_params(params))
+    opt_state = opt.init(params)
+    loss = None
+    for i in range(steps):
+        params, opt_state, m = step(
+            params, opt_state, batch, jax.random.key(100 + i), jnp.float32(0.5)
+        )
+        loss = float(m["lm_loss"])
+    return params, loss
+
+
+def quantize_mode(params, mode: str):
+    import jax
+    import jax.numpy as jnp
+
+    from dynamic_llava_tpu.ops.quant import quantize_llm_params
+
+    p = copy.deepcopy(jax.device_get(params))
+    p = jax.tree.map(jnp.asarray, p)
+    if mode == "int8":
+        return quantize_llm_params(p, bits=8)
+    if mode == "int4":
+        return quantize_llm_params(p, bits=4)
+    return p  # bf16 / fp8kv share full-precision weights
+
+
+def teacher_forced_ppl(params, cfg, prompts, answers, cache_dtype):
+    """Answer-token PPL through the real prefill + decode-step path (the
+    cache dtype is on the measured path — this is how fp8-KV is scored)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from dynamic_llava_tpu.models import dynamic
+    from dynamic_llava_tpu.multimodal.fusion import plan_batch
+
+    prefill = jax.jit(dynamic.prefill, static_argnums=(1,),
+                      static_argnames=("all_have_image",))
+    decode = jax.jit(dynamic.decode_step, static_argnums=(1,))
+    nll, count = 0.0, 0
+    for p, a in zip(prompts, answers):
+        plan = plan_batch([p], 0)
+        cache = dynamic.make_gen_cache(
+            cfg, 1, plan.seq_len, len(a) + 2, jnp.dtype(cache_dtype),
+            all_have_image=False,
+        )
+        state, _ = prefill(
+            params, cfg,
+            jnp.asarray(plan.token_ids), jnp.asarray(plan.is_image),
+            jnp.asarray(plan.image_slot), jnp.asarray(plan.valid_len),
+            jnp.asarray(plan.spans.image_start),
+            jnp.asarray(plan.spans.last_instruct_start),
+            jnp.asarray(plan.spans.last_instruct_end),
+            jnp.asarray(plan.spans.has_image),
+            None, cache,
+        )
+        for tok in a:
+            logits = np.asarray(state.last_logits[0], np.float32)
+            logp = logits - logits.max()
+            logp = logp - np.log(np.exp(logp).sum())
+            nll -= float(logp[int(tok)])
+            count += 1
+            state = decode(params, cfg, jnp.asarray([int(tok)]), state)
+    import math
+
+    return math.exp(nll / max(count, 1))
+
+
+def generate_answers(params, cfg, prompts, cache_dtype, max_new=3):
+    from dynamic_llava_tpu.generation.generate import (
+        GenerationConfig,
+        Generator,
+    )
+
+    gen = Generator(params, cfg, GenerationConfig(
+        max_new_tokens=max_new, eos_token_id=2,
+        cache_dtype=str(cache_dtype), decode_chunk=max_new,
+    ))
+    outs = gen.generate(list(prompts))
+    texts = []
+    for o in outs:
+        words = [VOCAB[t] for t in o if 0 <= t < len(VOCAB) and t != 2]
+        texts.append(" ".join(words))
+    return texts
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=150)
+    ap.add_argument("--pairs", type=int, default=16)
+    ap.add_argument("--hidden", type=int, default=128)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the accelerator (default: CPU — the model "
+                         "is tiny and the single TPU tunnel serves one "
+                         "client)")
+    args = ap.parse_args()
+
+    import jax
+
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from dynamic_llava_tpu.config import (
+        ClipVisionConfig,
+        LlamaConfig,
+        LlavaConfig,
+        SparseConfig,
+    )
+    from dynamic_llava_tpu.eval.eval_pope import score_pope
+
+    cfg = LlavaConfig(
+        text=LlamaConfig(
+            vocab_size=len(VOCAB), hidden_size=args.hidden,
+            intermediate_size=args.hidden * 2, num_hidden_layers=args.layers,
+            num_attention_heads=4, num_key_value_heads=4,
+        ),
+        vision=ClipVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=70, patch_size=14,
+        ),
+        sparse=SparseConfig(
+            d_model=32, nhead=2, dim_feedforward=64, num_layers=1,
+            use_vision_predictor=False, use_output_text_predictor=False,
+            use_instruct_predictor=False,
+        ),
+    )
+    prompts, answers, labels = build_corpus(args.pairs)
+    params, loss = train_tiny(cfg, prompts, answers, args.steps)
+    print(f"# trained {args.steps} steps, final lm_loss {loss:.4f}",
+          file=sys.stderr)
+
+    modes = [
+        ("bf16", "bf16", "bfloat16"),
+        ("int8", "int8", "bfloat16"),
+        ("int4", "int4", "bfloat16"),
+        ("fp8kv", "bf16", "float8_e4m3fn"),
+    ]
+    rows = {}
+    base_answers = None
+    for name, wmode, cache_dtype in modes:
+        qp = quantize_mode(params, wmode)
+        ppl = teacher_forced_ppl(qp, cfg, prompts, answers, cache_dtype)
+        texts = generate_answers(qp, cfg, prompts, cache_dtype)
+        pope = score_pope([t or "none" for t in texts], labels)
+        if base_answers is None:
+            base_answers = texts
+        agree = sum(t == b for t, b in zip(texts, base_answers)) / len(texts)
+        rows[name] = {
+            "answer_ppl": round(ppl, 4),
+            "pope_accuracy": round(pope["accuracy"], 4),
+            "pope_f1": round(pope["f1"], 4),
+            "greedy_agreement_vs_bf16": round(agree, 4),
+        }
+        print(json.dumps({"mode": name, **rows[name]}), flush=True)
+
+    print(json.dumps({"summary": rows}))
+
+
+if __name__ == "__main__":
+    main()
