@@ -42,19 +42,32 @@ def rope_cos_sin(
     positions = positions.astype(jnp.float32)
     if scaling is not None and scaling.rope_type == "linear":
         positions = positions / scaling.factor
-    base = theta
-    if scaling is not None and scaling.rope_type == "dynamic":
-        # dynamic NTK (dynamic_modeling_llama.py:215-250): rescale base when
-        # the running sequence exceeds the trained context.
-        seq_len = seq_len_for_ntk or max_position_embeddings
-        if seq_len > max_position_embeddings:
-            base = theta * (
-                (scaling.factor * seq_len / max_position_embeddings)
-                - (scaling.factor - 1)
-            ) ** (head_dim / (head_dim - 2))
     exponents = jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim
-    inv_freq = 1.0 / (base**exponents)  # [head_dim//2]
-    freqs = positions[..., None] * inv_freq  # [..., head_dim//2]
+    if scaling is not None and scaling.rope_type == "dynamic":
+        # dynamic NTK (reference dynamic_modeling_llama.py:215-250, HF
+        # _compute_dynamic_ntk_parameters): rescale the base when the
+        # running sequence exceeds the trained context. The running length
+        # is derived PER SAMPLE from the explicit position ids
+        # (max + 1 over the last axis) unless passed — in-graph, so the
+        # same jitted program serves every length. Clamping to
+        # max_position_embeddings makes the formula yield exactly ``theta``
+        # for unstretched contexts (factor*1 - factor + 1 = 1). Stateless
+        # per call where HF ratchets a cache — identical within one
+        # monotonically-growing generation.
+        if seq_len_for_ntk is None:
+            seq_len = jnp.max(positions, axis=-1) + 1.0  # [B]
+        else:
+            seq_len = jnp.asarray(seq_len_for_ntk, jnp.float32)
+        seq_len = jnp.maximum(seq_len, float(max_position_embeddings))
+        base = theta * (
+            (scaling.factor * seq_len / max_position_embeddings)
+            - (scaling.factor - 1)
+        ) ** (head_dim / (head_dim - 2))  # [B]
+        inv_freq = 1.0 / (base[..., None] ** exponents)  # [B, head_dim//2]
+        freqs = positions[..., None] * inv_freq[..., None, :]
+    else:
+        inv_freq = 1.0 / (theta**exponents)  # [head_dim//2]
+        freqs = positions[..., None] * inv_freq  # [..., head_dim//2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)  # [..., head_dim]
     return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
 

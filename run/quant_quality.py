@@ -4,14 +4,19 @@ Cosine similarity on random weights says little about end-task damage
 (VERDICT r2 weak #4). This harness produces the measurement the
 reference's bnb-4bit users get implicitly from benchmark tables:
 
-1. Overfit a small model on a synthetic POPE-style yes/no QA corpus
-   (the trained-checkpoint stand-in — no public weights are downloadable
-   in this environment).
+1. Train a small model on a synthetic POPE-style yes/no QA corpus whose
+   rule (object identity -> yes/no) GENERALIZES, holding out a slice of
+   objects: held-out margins are finite, so quantization damage is
+   visible even when training pairs are memorized (the trained-checkpoint
+   stand-in — no public weights are downloadable in this environment).
 2. For each mode — bf16, int8, packed-int4, bf16+fp8-KV — measure:
    * teacher-forced answer PPL through the REAL decode path (prefill +
      per-token decode against the tiered cache, so fp8-KV storage and the
-     quantized matmuls are both on the measured path), and
-   * POPE-scorer accuracy/F1 of greedy generations (eval_pope.score_pope).
+     quantized matmuls are both on the measured path),
+   * POPE-scorer accuracy/F1 of greedy generations (eval_pope.score_pope),
+     split train-pairs vs held-out pairs, and
+   * the mean answer-position logit margin (top1 - top2) — a continuous
+     sensitivity measure that shows deltas before accuracy flips.
 
 Prints one JSON line per mode and a summary table. CPU-runnable:
 
@@ -41,20 +46,23 @@ YES, NO = VOCAB.index("yes"), VOCAB.index("no")
 
 
 def build_corpus(n_pairs: int, seed: int = 0):
-    """POPE-style: 'Q is there a <obj> ?' -> yes/no by a fixed rule the
-    model must memorize (object parity)."""
+    """POPE-style: 'Q is there a <ctx> <obj> ?' -> yes iff the OBJECT is in
+    the yes-class. The context word varies per pair, so held-out
+    (context, object) combinations test the generalizing rule with finite
+    margins instead of pure memorization."""
     import numpy as np
 
-    rng = np.random.default_rng(seed)
     objs = [VOCAB.index(w) for w in
             ("dog", "cat", "tree", "car", "red", "blue", "big", "small")]
+    ctxs = [VOCAB.index(w) for w in ("one", "two", "on", "under")]
     prompts, answers, labels_txt = [], [], []
     for i in range(n_pairs):
         obj = objs[i % len(objs)]
+        ctx = ctxs[(i // len(objs)) % len(ctxs)]
         q = [1, VOCAB.index("Q"), VOCAB.index("is"), VOCAB.index("there"),
-             VOCAB.index("a"), obj, VOCAB.index("?"),
+             VOCAB.index("a"), ctx, obj, VOCAB.index("?"),
              VOCAB.index("A")]
-        ans = YES if (i % 2 == 0) else NO
+        ans = YES if (i % len(objs)) % 2 == 0 else NO  # object class rule
         prompts.append(np.asarray(q, np.int64))
         answers.append(np.asarray([ans, 2], np.int64))  # answer + </s>
         labels_txt.append("yes" if ans == YES else "no")
@@ -124,6 +132,7 @@ def teacher_forced_ppl(params, cfg, prompts, answers, cache_dtype):
                       static_argnames=("all_have_image",))
     decode = jax.jit(dynamic.decode_step, static_argnums=(1,))
     nll, count = 0.0, 0
+    margins = []
     for p, a in zip(prompts, answers):
         plan = plan_batch([p], 0)
         cache = dynamic.make_gen_cache(
@@ -140,16 +149,19 @@ def teacher_forced_ppl(params, cfg, prompts, answers, cache_dtype):
             jnp.asarray(plan.spans.has_image),
             None, cache,
         )
-        for tok in a:
+        for j, tok in enumerate(a):
             logits = np.asarray(state.last_logits[0], np.float32)
             logp = logits - logits.max()
             logp = logp - np.log(np.exp(logp).sum())
             nll -= float(logp[int(tok)])
             count += 1
+            if j == 0:  # answer-position top1-top2 margin
+                top2 = np.partition(logits, -2)[-2:]
+                margins.append(float(top2[1] - top2[0]))
             state = decode(params, cfg, jnp.asarray([int(tok)]), state)
     import math
 
-    return math.exp(nll / max(count, 1))
+    return math.exp(nll / max(count, 1)), float(np.mean(margins))
 
 
 def generate_answers(params, cfg, prompts, cache_dtype, max_new=3):
@@ -173,7 +185,10 @@ def generate_answers(params, cfg, prompts, cache_dtype, max_new=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=150)
-    ap.add_argument("--pairs", type=int, default=16)
+    ap.add_argument("--pairs", type=int, default=16,
+                    help="training pairs (contexts 0-1)")
+    ap.add_argument("--holdout", type=int, default=16,
+                    help="held-out pairs with unseen context words")
     ap.add_argument("--hidden", type=int, default=128)
     ap.add_argument("--layers", type=int, default=4)
     ap.add_argument("--tpu", action="store_true",
@@ -211,9 +226,15 @@ def main():
             use_instruct_predictor=False,
         ),
     )
-    prompts, answers, labels = build_corpus(args.pairs)
-    params, loss = train_tiny(cfg, prompts, answers, args.steps)
-    print(f"# trained {args.steps} steps, final lm_loss {loss:.4f}",
+    total = args.pairs + args.holdout
+    prompts, answers, labels = build_corpus(total)
+    tr = slice(0, args.pairs)
+    ho = slice(args.pairs, total)
+    params, loss = train_tiny(
+        cfg, prompts[tr], answers[tr], args.steps
+    )
+    print(f"# trained {args.steps} steps on {args.pairs} pairs "
+          f"({args.holdout} held out), final lm_loss {loss:.4f}",
           file=sys.stderr)
 
     modes = [
@@ -226,16 +247,25 @@ def main():
     base_answers = None
     for name, wmode, cache_dtype in modes:
         qp = quantize_mode(params, wmode)
-        ppl = teacher_forced_ppl(qp, cfg, prompts, answers, cache_dtype)
+        ppl, margin = teacher_forced_ppl(
+            qp, cfg, prompts[ho], answers[ho], cache_dtype
+        )
         texts = generate_answers(qp, cfg, prompts, cache_dtype)
-        pope = score_pope([t or "none" for t in texts], labels)
+        pope_tr = score_pope(
+            [t or "none" for t in texts[tr]], labels[tr]
+        )
+        pope_ho = score_pope(
+            [t or "none" for t in texts[ho]], labels[ho]
+        )
         if base_answers is None:
             base_answers = texts
         agree = sum(t == b for t, b in zip(texts, base_answers)) / len(texts)
         rows[name] = {
-            "answer_ppl": round(ppl, 4),
-            "pope_accuracy": round(pope["accuracy"], 4),
-            "pope_f1": round(pope["f1"], 4),
+            "holdout_answer_ppl": round(ppl, 4),
+            "holdout_answer_margin": round(margin, 4),
+            "pope_accuracy_train": round(pope_tr["accuracy"], 4),
+            "pope_accuracy_holdout": round(pope_ho["accuracy"], 4),
+            "pope_f1_holdout": round(pope_ho["f1"], 4),
             "greedy_agreement_vs_bf16": round(agree, 4),
         }
         print(json.dumps({"mode": name, **rows[name]}), flush=True)
