@@ -88,12 +88,31 @@ def index_layer(layers, i):
     Used inside scans-over-layer-indices: the stack stays a single
     loop-invariant HBM buffer and each step reads one [1, ...] slice —
     unlike ``slice_layers``, which materializes a copy of the sub-range
-    (for a 7B model that copy is ~12 GB and OOMs a single chip)."""
-    return jax.tree.map(
+    (for a 7B model that copy is ~12 GB and OOMs a single chip).
+
+    Packed-int4 leaves keep their FULL ``q4`` stack plus the index
+    (``{"q4": [L, ...], "s": sliced, "li": i}``): the Pallas streaming
+    matmul consumes the stack + index directly, because a pallas_call
+    input cannot fuse a producer dynamic-slice — slicing here would copy
+    ~100 MB of packed weights per matmul per step (ops/quant_matmul)."""
+
+    def pick(node):
+        if isinstance(node, dict) and "q4" in node:
+            return {
+                "q4": node["q4"],
+                "s": jax.lax.dynamic_index_in_dim(
+                    node["s"], i, axis=0, keepdims=False
+                ),
+                "li": i,
+            }
         # 0-d leaves (e.g. the LoRA alpha/rank scale) are layer-invariant
-        lambda a: a if jnp.ndim(a) == 0
-        else jax.lax.dynamic_index_in_dim(a, i, axis=0, keepdims=False),
-        layers,
+        if jnp.ndim(node) == 0:
+            return node
+        return jax.lax.dynamic_index_in_dim(node, i, axis=0, keepdims=False)
+
+    return jax.tree.map(
+        pick, layers,
+        is_leaf=lambda n: isinstance(n, dict) and "q4" in n,
     )
 
 

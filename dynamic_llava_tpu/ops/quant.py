@@ -91,9 +91,10 @@ def quantize_weight(w: jax.Array, axis: int = 0, bits: int = 8) -> dict:
 
 
 def _q4_kernel_enabled() -> bool:
-    """Pallas single-read dequantizing matmul dispatch: the XLA split path
-    below reads every packed byte twice (~int8 traffic). Default: on for
-    real TPU. Override with DYNAMIC_LLAVA_Q4_KERNEL=0/1."""
+    """Pallas single-read streaming GEMV dispatch (decode-sized row counts
+    only — see quant_matmul): the XLA split path below reads every packed
+    byte twice (~int8 traffic). Default: on for real TPU. Override with
+    DYNAMIC_LLAVA_Q4_KERNEL=0/1."""
     import os
 
     env = os.environ.get("DYNAMIC_LLAVA_Q4_KERNEL")
@@ -118,11 +119,20 @@ def matmul_q4(x: jax.Array, leaf: dict, out_fp32: bool = False) -> jax.Array:
     is streamed once per half. (A single materialized dequant ran 13B
     decode at 24 tok/s — the bf16 write+read tripled the weight traffic.)"""
     p, s = leaf["q4"], leaf["s"]
+    li = leaf.get("li")  # stacked leaf from index_layer: p is [L, K, half]
     if _q4_kernel_enabled():
         from .quant_matmul import matmul_q4_pallas, q4_kernel_supported
 
-        if q4_kernel_supported(p.shape):
-            return matmul_q4_pallas(x, p, s, out_fp32=out_fp32)
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
+        if q4_kernel_supported(p.shape, rows):
+            return matmul_q4_pallas(
+                x, p, s, layer=0 if li is None else li, out_fp32=out_fp32
+            )
+    if li is not None:
+        # XLA fallback: the dynamic layer slice fuses into the dots below
+        p = jax.lax.dynamic_index_in_dim(p, li, axis=0, keepdims=False)
     half = p.shape[-1]
     s_lo = s[..., :half].astype(x.dtype)
     s_hi = s[..., half:].astype(x.dtype)

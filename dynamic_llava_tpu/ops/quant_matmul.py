@@ -1,23 +1,27 @@
-"""Pallas dequantizing int4 matmul — reads each packed byte ONCE.
+"""Pallas dequantizing int4 matmul — single-program streaming GEMV.
 
-The XLA path (``quant.matmul_q4``) splits x @ W4 into per-nibble halves, so
-every packed byte is streamed from HBM twice (~int8 traffic; measured 13B
-int4 decode 39.1 tok/s ≈ 1.6x off the packed roofline —
-docs/BENCHMARKS.md). This kernel unpacks BOTH nibbles of a weight block in
-VMEM and feeds both half-matmuls from that single read, which is the whole
-int4 bandwidth win on a weight-bound chip.
+The XLA path (``quant.matmul_q4``) splits x @ W4 into per-nibble halves,
+streaming every packed byte from HBM twice (~int8 traffic). A first
+grid-tiled Pallas kernel read each byte once but LOST at decode (69.0 vs
+75.1 tok/s, 7B-int4 B=1 measured): the ffn half-width 5504 only tiles at
+128 lanes, so one matmul became hundreds of tiny sequential programs and
+per-program overhead swamped the bandwidth saving — the same failure mode
+as ``ops/decode_attention`` (docs/BENCHMARKS.md negative results).
+
+This version is ONE program per matmul: the packed weight stays in HBM
+(`memory_space=ANY`) and the kernel streams row blocks through a
+double-buffered VMEM window (`make_async_copy`), unpacking BOTH nibbles of
+each block once and accumulating both half-GEMVs in fp32 carries. All
+per-program overhead is paid once; the DMA pipeline keeps HBM busy — the
+single-read int4 roofline path for decode (rows <= 8). Prefill keeps the
+XLA split path, which wins when compute dominates.
+
+Layout contract is ``quant.pack_int4``'s split-half format. The XLA path
+is the semantic oracle; tests run this kernel in interpret mode on CPU
+and the dispatch is TPU-only.
 
 Replaces the reference's bitsandbytes 4-bit CUDA kernels
-(/root/reference/llava/model/dynamic_llava_builder.py:51-60) on the TPU
-side. Layout contract is ``quant.pack_int4``'s split-half format: packed
-column j holds output column j in its LOW nibble and output column
-``half + j`` in its HIGH nibble, so each grid block writes two disjoint
-column blocks of the output.
-
-Grid: (m_blocks, n_blocks, k_blocks), reduction (k) innermost; fp32
-accumulators for both halves live in VMEM scratch and are scaled + written
-on the last k step. ``quant.matmul_q4`` is the semantic oracle; tests run
-this kernel in interpret mode against it.
+(/root/reference/llava/model/dynamic_llava_builder.py:51-60).
 """
 
 from __future__ import annotations
@@ -30,120 +34,141 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _q4_matmul_kernel(
-    x_ref,  # [TM, TK] activation block
-    p_ref,  # [TK, TN] packed int4 pairs (int8)
-    slo_ref,  # [1, TN] scales of the low-nibble output columns
-    shi_ref,  # [1, TN] scales of the high-nibble output columns
-    ylo_ref,  # [TM, TN] out block, columns [0, half)
-    yhi_ref,  # [TM, TN] out block, columns [half, 2*half)
-    acc_lo,  # [TM, TN] fp32 scratch
-    acc_hi,  # [TM, TN] fp32 scratch
+def _q4_gemv_kernel(
+    li_ref,  # [1] int32 layer index into the stacked weight (SMEM)
+    x_ref,  # [TM, K] activations (VMEM)
+    slo_ref,  # [1, half] scales, low-nibble output columns (VMEM)
+    shi_ref,  # [1, half] scales, high-nibble output columns (VMEM)
+    p_hbm,  # [L, K, half] packed int4 pairs (stays in HBM; streamed)
+    ylo_ref,  # [TM, half] out, columns [0, half)
+    yhi_ref,  # [TM, half] out, columns [half, 2*half)
     *,
-    n_k: int,
+    tk: int,
 ):
-    kk = pl.program_id(2)
+    _, k_dim, half = p_hbm.shape
+    n_chunks = k_dim // tk
+    tm = x_ref.shape[0]
+    li = li_ref[0]
 
-    @pl.when(kk == 0)
-    def _zero():
-        acc_lo[:] = jnp.zeros_like(acc_lo)
-        acc_hi[:] = jnp.zeros_like(acc_hi)
+    def body(bufs, sems):
+        def dma(slot, idx):
+            # indexing the LAYER dynamically here is the point: the full
+            # [L, K, half] stack is the kernel input (a loop-invariant HBM
+            # buffer), so a scan-over-layers never materializes a sliced
+            # copy of the packed weights — a pallas_call cannot fuse a
+            # producer dynamic-slice the way XLA fuses it into a dot
+            return pltpu.make_async_copy(
+                p_hbm.at[li, pl.ds(idx * tk, tk), :],
+                bufs.at[slot],
+                sems.at[slot],
+            )
 
-    x = x_ref[:].astype(jnp.float32)
-    p = p_ref[:].astype(jnp.int32)  # sign-extended bytes
-    # ONE HBM read of the packed block serves both nibble halves
-    lo = jnp.left_shift(p, 28) >> 28  # low nibble, sign-extended
-    hi = p >> 4  # high nibble (int8->int32 already arithmetic)
-    acc_lo[:] += jnp.dot(
-        x, lo.astype(jnp.float32), preferred_element_type=jnp.float32
-    )
-    acc_hi[:] += jnp.dot(
-        x, hi.astype(jnp.float32), preferred_element_type=jnp.float32
-    )
+        dma(0, 0).start()
 
-    @pl.when(kk == n_k - 1)
-    def _write():
-        ylo_ref[:] = (acc_lo[:] * slo_ref[:].astype(jnp.float32)).astype(
+        def loop(i, acc):
+            acc_lo, acc_hi = acc
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_chunks)
+            def _():
+                dma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+            dma(slot, i).wait()
+            p = bufs[slot].astype(jnp.int32)
+            # ONE HBM read of the block serves both nibble halves; nibble
+            # values (±7) are exact in bf16, so the dots ride the MXU at
+            # bf16 rate with fp32 accumulation
+            lo = (jnp.left_shift(p, 28) >> 28).astype(jnp.bfloat16)
+            hi = (p >> 4).astype(jnp.bfloat16)
+            xb = x_ref[:, pl.ds(i * tk, tk)].astype(jnp.bfloat16)
+            acc_lo = acc_lo + jnp.dot(
+                xb, lo, preferred_element_type=jnp.float32
+            )
+            acc_hi = acc_hi + jnp.dot(
+                xb, hi, preferred_element_type=jnp.float32
+            )
+            return acc_lo, acc_hi
+
+        zeros = jnp.zeros((tm, half), jnp.float32)
+        acc_lo, acc_hi = jax.lax.fori_loop(
+            0, n_chunks, loop, (zeros, zeros)
+        )
+        ylo_ref[:] = (acc_lo * slo_ref[:].astype(jnp.float32)).astype(
             ylo_ref.dtype
         )
-        yhi_ref[:] = (acc_hi[:] * shi_ref[:].astype(jnp.float32)).astype(
+        yhi_ref[:] = (acc_hi * shi_ref[:].astype(jnp.float32)).astype(
             yhi_ref.dtype
         )
 
+    pl.run_scoped(
+        body,
+        bufs=pltpu.VMEM((2, tk, half), jnp.int8),
+        sems=pltpu.SemaphoreType.DMA((2,)),
+    )
 
-def _pick_tile(dim: int, candidates=(512, 256, 128)) -> int:
-    for c in candidates:
-        if dim % c == 0:
-            return c
+
+def _pick_tk(k_dim: int, half: int) -> int:
+    """Row-block size: ~2 MB per buffer, int8-sublane (32) aligned."""
+    for tk in (512, 256, 128, 64, 32):
+        if k_dim % tk == 0 and tk * half <= (2 << 20):
+            return tk
     return 0
 
 
-@functools.partial(
-    jax.jit, static_argnames=("out_fp32", "interpret")
-)
+@functools.partial(jax.jit, static_argnames=("out_fp32", "interpret"))
 def matmul_q4_pallas(
     x: jax.Array,  # [..., K]
-    packed: jax.Array,  # [K, half] int8 nibble pairs
-    scales: jax.Array,  # [1, 2*half] per-output-column scales
+    packed: jax.Array,  # [K, half] or stacked [L, K, half] int8 nibble pairs
+    scales: jax.Array,  # [1, 2*half] per-output-column scales (layer-sliced)
+    layer: jax.Array | int = 0,  # layer index into a stacked weight
     out_fp32: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
-    """x @ deq(packed) with split-half layout. Returns [..., 2*half]."""
-    k_dim, half = packed.shape
+    """x @ deq(packed[layer]) with split-half layout. Returns [..., 2*half].
+    Intended for GEMV-like row counts (decode); rows are padded to 8. A 2D
+    ``packed`` is treated as a 1-layer stack (the reshape is free)."""
+    if packed.ndim == 2:
+        packed = packed[None]
+    n_layers, k_dim, half = packed.shape
     lead = x.shape[:-1]
     x2 = x.reshape(-1, k_dim)
     rows = x2.shape[0]
+    tk = _pick_tk(k_dim, half)
+    if not tk:
+        raise ValueError(f"K={k_dim} not tileable for half={half}")
+    tm = -(-rows // 8) * 8
+    if tm != rows:
+        x2 = jnp.pad(x2, ((0, tm - rows), (0, 0)))
 
-    tk = _pick_tile(k_dim)
-    tn = _pick_tile(half)
-    if not (tk and tn):
-        raise ValueError(f"dims not tileable: K={k_dim}, half={half}")
-    # decode is a handful of rows: one padded m block. Prefill uses 256-row
-    # blocks so the weight stream is not re-read per tiny row group.
-    tm = -(-rows // 8) * 8 if rows <= 64 else 256
-    pad_m = -rows % tm
-    if pad_m:
-        x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
-    m_pad = x2.shape[0]
-
-    n_k = k_dim // tk
-    grid = (m_pad // tm, half // tn, n_k)
     out_dtype = jnp.float32 if out_fp32 else x.dtype
-    s_lo = scales[:, :half]
-    s_hi = scales[:, half:]
-
+    li = jnp.asarray(layer, jnp.int32).reshape(1)
     ylo, yhi = pl.pallas_call(
-        functools.partial(_q4_matmul_kernel, n_k=n_k),
-        grid=grid,
+        functools.partial(_q4_gemv_kernel, tk=tk),
         in_specs=[
-            pl.BlockSpec((tm, tk), lambda i, j, k: (i, k)),
-            pl.BlockSpec((tk, tn), lambda i, j, k: (k, j)),
-            pl.BlockSpec((1, tn), lambda i, j, k: (0, j)),
-            pl.BlockSpec((1, tn), lambda i, j, k: (0, j)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # packed stays in HBM
         ],
         out_specs=[
-            pl.BlockSpec((tm, tn), lambda i, j, k: (i, j)),
-            pl.BlockSpec((tm, tn), lambda i, j, k: (i, j)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((m_pad, half), out_dtype),
-            jax.ShapeDtypeStruct((m_pad, half), out_dtype),
+            jax.ShapeDtypeStruct((tm, half), out_dtype),
+            jax.ShapeDtypeStruct((tm, half), out_dtype),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((tm, tn), jnp.float32),
-            pltpu.VMEM((tm, tn), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
         interpret=interpret,
-    )(x2, packed, s_lo, s_hi)
+    )(li, x2, scales[:, :half], scales[:, half:], packed)
     y = jnp.concatenate([ylo, yhi], axis=-1)
-    if pad_m:
+    if tm != rows:
         y = y[:rows]
     return y.reshape(lead + (2 * half,))
 
 
-def q4_kernel_supported(packed_shape) -> bool:
+def q4_kernel_supported(packed_shape, rows: int) -> bool:
+    """Dispatch contract: decode-sized row counts only — the XLA split
+    path wins for prefill (compute-dominated; measured r3)."""
     k_dim, half = packed_shape[-2:]
-    return bool(_pick_tile(k_dim) and _pick_tile(half))
+    return rows <= 8 and _pick_tk(k_dim, half) > 0

@@ -102,7 +102,7 @@ def test_matmul_q4_pallas_matches_xla_oracle():
     k_dim, out = 256, 512  # tiles: tk=256, tn=256
     w = jnp.asarray(rng.normal(size=(k_dim, out)) * 0.02, jnp.bfloat16)
     leaf = quantize_weight(w, axis=0, bits=4)
-    assert q4_kernel_supported(leaf["q4"].shape)
+    assert q4_kernel_supported(leaf["q4"].shape, rows=1)
 
     for rows in (1, 3, 70):
         x = jnp.asarray(rng.normal(size=(rows, k_dim)), jnp.bfloat16)
@@ -129,3 +129,67 @@ def test_matmul_q4_pallas_matches_xla_oracle():
     x3 = jnp.asarray(rng.normal(size=(2, 5, k_dim)), jnp.bfloat16)
     got3 = matmul_q4_pallas(x3, leaf["q4"], leaf["s"], interpret=True)
     assert got3.shape == (2, 5, out)
+
+
+def test_matmul_q4_pallas_stacked_layer_index():
+    """The streaming kernel consumes the FULL [L, K, half] stack plus a
+    layer index (no sliced copy inside a layer scan); every layer must
+    match the per-layer XLA oracle."""
+    from dynamic_llava_tpu.ops.quant import quantize_weight
+    from dynamic_llava_tpu.ops.quant_matmul import matmul_q4_pallas
+
+    rng = np.random.default_rng(8)
+    n_layers, k_dim, out = 3, 128, 256
+    w = jnp.asarray(rng.normal(size=(n_layers, k_dim, out)) * 0.02, jnp.bfloat16)
+    leaf = quantize_weight(w, axis=1, bits=4)  # {"q4": [L,K,half], "s": [L,1,out]}
+    x = jnp.asarray(rng.normal(size=(2, k_dim)), jnp.bfloat16)
+
+    for li in range(n_layers):
+        p_l = leaf["q4"][li]
+        s_l = leaf["s"][li]
+        half = p_l.shape[-1]
+        lo = (jnp.left_shift(p_l, 4) >> 4).astype(x.dtype) * s_l[..., :half].astype(x.dtype)
+        hi = (p_l >> 4).astype(x.dtype) * s_l[..., half:].astype(x.dtype)
+        ref = jnp.concatenate(
+            [jnp.einsum("ri,io->ro", x, lo), jnp.einsum("ri,io->ro", x, hi)],
+            axis=-1,
+        )
+        got = matmul_q4_pallas(
+            x, leaf["q4"], s_l, layer=jnp.int32(li), interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
+
+
+def test_index_layer_keeps_q4_stack():
+    """index_layer must NOT slice packed-int4 stacks (a pallas input can't
+    fuse the slice); it attaches the layer index instead."""
+    from dynamic_llava_tpu.models.llama import index_layer
+    from dynamic_llava_tpu.ops.quant import matmul_q4, quantize_weight
+
+    rng = np.random.default_rng(9)
+    w = jnp.asarray(rng.normal(size=(2, 16, 32)) * 0.02, jnp.bfloat16)
+    layers = {
+        "q": quantize_weight(w, axis=1, bits=4),
+        "input_ln": jnp.ones((2, 16), jnp.bfloat16),
+    }
+    lp = index_layer(layers, jnp.int32(1))
+    assert lp["q"]["q4"].shape == (2, 16, 16)  # full stack kept
+    assert lp["q"]["s"].shape == (1, 32)  # scales sliced
+    assert int(lp["q"]["li"]) == 1
+    assert lp["input_ln"].shape == (16,)  # plain leaves still sliced
+
+    # the XLA fallback slices in-graph and matches the dense product
+    x = jnp.asarray(rng.normal(size=(1, 16)), jnp.bfloat16)
+    got = matmul_q4(x, lp["q"])
+    from dynamic_llava_tpu.ops.quant import dequantize_weight
+
+    ref = x @ dequantize_weight(
+        {"q4": layers["q"]["q4"][1], "s": layers["q"]["s"][1]}, jnp.bfloat16
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
