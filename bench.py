@@ -123,8 +123,13 @@ ARMS = {
         "dense": _side("7b", 1, new_tokens=256),
         "metric": "decode_tok_s_sparse_7b_b1",
     },
+    "serving_fp8": {
+        "sparse": _side("1b", 32, cache_dtype="float8_e4m3fn"),
+        "dense": _side("1b", 32, cache_dtype="float8_e4m3fn"),
+        "metric": "serving_decode_tok_s_sparse_1b_proxy_b32_fp8kv",
+    },
 }
-ARM_ORDER = ("7b_best", "7b_batch", "serving", "7b")
+ARM_ORDER = ("7b_best", "7b_batch", "serving", "7b", "serving_fp8")
 
 # kept for back-compat with run/ scripts that import CONFIGS
 CONFIGS = {
