@@ -10,14 +10,16 @@ reference bench streams per-config records for
 (/root/reference/llava/dynamic_eval/bench_test/dynamic_llava_image_time_and_mem.py:128-156):
 
   * ``7b_best``  — the headline serving metric: each config at the LARGEST
-                   batch that fits one chip. Sparse 7B-int8 fits B=16
-                   (its KV is ~2.6 GB smaller than dense at B=8); dense
-                   bf16-KV tops out at B=8. Best-vs-best aggregate tok/s is
-                   the capacity win the method delivers in production.
+                   batch that fits one chip. Sparse 7B-int8 fits B=24
+                   (12.7 GB live — its pruned KV is what buys the batch);
+                   dense bf16-KV tops out at B=8. Best-vs-best aggregate
+                   tok/s is the capacity win the method delivers.
   * ``7b_batch`` — symmetric B=8 7B-int8 (the KV-bound like-for-like ratio).
   * ``serving``  — 1B proxy (~ one v5e-8 shard of the sharded 7B), batch
                    32, 512-token generations (KV-bandwidth-dominated).
   * ``7b``       — flagship B=1 bf16 latency (weight-bound by physics).
+  * ``serving_fp8`` — the serving arm with fp8 KV storage (extra credit;
+                   dropped first when the budget runs short).
 
 Output protocol: after every completed arm, an ``ARM_RESULT <json>``
 progress line AND an updated bare-JSON summary line are printed (flushed).
