@@ -168,7 +168,9 @@ def matmul_q4_pallas(
 
 
 def q4_kernel_supported(packed_shape, rows: int) -> bool:
-    """Dispatch contract: decode-sized row counts only — the XLA split
-    path wins for prefill (compute-dominated; measured r3)."""
+    """Dispatch contract: decode-sized row counts only (single-token step
+    at any serving batch — still weight-bandwidth-bound; the MXU pads the
+    row tile either way). The XLA split path wins for prefill, whose row
+    counts are B*S >> 64 (compute-dominated; measured r3)."""
     k_dim, half = packed_shape[-2:]
-    return rows <= 8 and _pick_tk(k_dim, half) > 0
+    return rows <= 64 and _pick_tk(k_dim, half) > 0
