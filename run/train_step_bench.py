@@ -80,6 +80,7 @@ def build(args):
     step = make_train_step(
         cfg, optimizer, remat=True, labels=label_params(params),
         remat_policy=args.remat_policy,
+        grad_accum_steps=args.grad_accum,
     )
     opt_state = optimizer.init(params)
     return cfg, params, opt_state, step, batch, plan
@@ -134,6 +135,7 @@ def run_once(args):
         "loss": round(loss, 3),
         "flash_env": os.environ.get("DYNAMIC_LLAVA_FLASH", "auto"),
         "remat_policy": args.remat_policy,
+        "grad_accum": args.grad_accum,
     }
 
 
@@ -146,6 +148,7 @@ def main():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--text-len", type=int, default=1088)
     p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--grad-accum", dest="grad_accum", type=int, default=1)
     p.add_argument("--remat-policy", dest="remat_policy", default="nothing",
                    choices=["nothing", "dots"])
     p.add_argument("--sweep", action="store_true",
