@@ -30,11 +30,11 @@ from ..config import LlamaConfig
 from ..ops.attention import (
     attend,
     attend_with_policy,
-    decode_attend,
+    decode_attend_appended,
     make_attention_mask,
     self_attend,
 )
-from ..ops.kv_cache import KVCache, write_token
+from ..ops.kv_cache import KVCache, write_token_layers
 from ..ops.norm import rms_norm
 from ..ops.rope import apply_rope_for_config
 from ..train.lora import lora_proj
@@ -316,10 +316,18 @@ def run_layers_decode(
     """One decode step through layers [lo, hi). ``cache`` covers exactly the
     range (layer axis is range-relative).
 
-    Each layer writes the token's K/V at its ``length`` slot and attends over
-    ``[0, length + 1)``. Lengths are advanced by the caller (see
-    ``ops.kv_cache.advance_tiered``) so a kept/dropped decision made at the
-    sparse layer applies uniformly.
+    The cache buffers enter the layer scan as READ-ONLY ``xs`` (per-layer
+    slices are views): each layer attends over its persisted tokens plus
+    the current token's K/V appended virtually (``decode_attend_appended``
+    — equivalent to the write-then-attend-over-length+1 protocol), and the
+    actual K/V writes happen in ONE scatter after the scan. Carrying the
+    multi-GB buffers through the scan instead costs a capacity-
+    proportional copy per step — measured as ~18% of the B=24 7B decode
+    step (run/decode_profile.py half_cache slope with attention reads,
+    writes, and lm_head each patched to no-ops moving nothing).
+
+    Lengths are advanced by the caller (see ``ops.kv_cache.advance_tiered``)
+    so a kept/dropped decision made at the sparse layer applies uniformly.
     """
     hi = cfg.num_hidden_layers if hi is None else hi
     assert cache.num_layers == hi - lo, (cache.num_layers, lo, hi)
@@ -329,26 +337,23 @@ def run_layers_decode(
     b = x.shape[0]
     layer_ids = jnp.arange(hi - lo, dtype=jnp.int32)
 
-    def body(carry, li):
-        x, ck, cv = carry
+    def body(x, xs):
+        li, ck_l, cv_l, length_l = xs
         lp = index_layer(layers, li + lo)
         h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
         q, k, v = _qkv(lp, cfg, h, positions)
-        length_l = jax.lax.dynamic_index_in_dim(
-            cache.length, li, axis=0, keepdims=False
-        )  # [B]
-        ck_l = jax.lax.dynamic_index_in_dim(ck, li, axis=0, keepdims=False)
-        cv_l = jax.lax.dynamic_index_in_dim(cv, li, axis=0, keepdims=False)
-        ck_l, cv_l = write_token(ck_l, cv_l, k, v, length_l)
-        ck = jax.lax.dynamic_update_slice(ck, ck_l[None], (li, 0, 0, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, cv_l[None], (li, 0, 0, 0, 0))
-        o = decode_attend(q, ck_l.astype(q.dtype), cv_l.astype(q.dtype), length_l)
+        o = decode_attend_appended(
+            q, ck_l.astype(q.dtype), cv_l.astype(q.dtype), k, v, length_l
+        )
         x = x + lora_proj(lp, "o", o.reshape(b, 1, -1))
         hh = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
         x = x + _mlp(lp, hh)
-        return (x, ck, cv), None
+        return x, (k.astype(cache.k.dtype), v.astype(cache.v.dtype))
 
-    (x, ck, cv), _ = jax.lax.scan(body, (x, cache.k, cache.v), layer_ids)
+    x, (k_new, v_new) = jax.lax.scan(
+        body, x, (layer_ids, cache.k, cache.v, cache.length)
+    )
+    ck, cv = write_token_layers(cache.k, cache.v, k_new, v_new, cache.length)
     return DecodeResult(x=x, cache=KVCache(k=ck, v=cv, length=cache.length))
 
 

@@ -264,6 +264,52 @@ def decode_attend(
     return attend(q, k_cache, v_cache, mask=mask, scale=scale)
 
 
+def decode_attend_appended(
+    q: jax.Array,  # [B, 1, H, d] current-step query
+    k_cache: jax.Array,  # [B, max_len, Hkv, d] persisted tokens (read-only)
+    v_cache: jax.Array,  # [B, max_len, Hkv, d]
+    k_cur: jax.Array,  # [B, 1, Hkv, d] current token's key (NOT in the cache)
+    v_cur: jax.Array,  # [B, 1, Hkv, d]
+    kv_length: jax.Array,  # [B] int32 persisted length
+    *,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Decode attention with the current token APPENDED virtually.
+
+    Equivalent to writing the token at slot ``kv_length`` and attending
+    over ``[0, kv_length + 1)`` (``decode_attend``), but the cache buffers
+    are only READ: the current token's K/V ride as a separate length-1
+    term in the softmax. This is what lets the layer scan treat the cache
+    as read-only ``xs`` and defer the (tiny) K/V scatter to one op outside
+    the loop — carrying multi-GB cache buffers through a scan costs a
+    capacity-proportional copy per step (measured: 18% of the B=24 7B
+    decode step went to carry traffic, run/decode_profile.py)."""
+    n_rep = q.shape[2] // k_cache.shape[2]
+    k_cache = repeat_kv_heads(k_cache, n_rep)
+    v_cache = repeat_kv_heads(v_cache, n_rep)
+    k_cur = repeat_kv_heads(k_cur, n_rep)
+    v_cur = repeat_kv_heads(v_cur, n_rep)
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    max_len = k_cache.shape[1]
+    logits_cache = _logits(q, k_cache, scale)  # [B, H, 1, max_len]
+    cols = jnp.arange(max_len, dtype=jnp.int32)
+    mask = cols[None, None, None, :] < kv_length[:, None, None, None]
+    logits_cache = jnp.where(mask, logits_cache, jnp.float32(-1e30))
+    logit_cur = _logits(q, k_cur, scale)  # [B, H, 1, 1] — always visible
+    w = jax.nn.softmax(
+        jnp.concatenate([logits_cache, logit_cur], axis=-1), axis=-1
+    )
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", w[..., :max_len], v_cache,
+        preferred_element_type=jnp.float32,
+    ) + jnp.einsum(
+        "bhqk,bkhd->bqhd", w[..., max_len:], v_cur,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
 def blockwise_attend(
     q: jax.Array,  # [B, S, H, d]
     k: jax.Array,

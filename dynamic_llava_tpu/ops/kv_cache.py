@@ -137,6 +137,19 @@ def write_token(
     return k_layer, v_layer
 
 
+def write_token_layers(
+    k: jax.Array,  # [L, B, max_len, Hkv, d]
+    v: jax.Array,
+    k_new: jax.Array,  # [L, B, 1, Hkv, d] per-layer current-token K
+    v_new: jax.Array,
+    length: jax.Array,  # [L, B] slot per layer/sample
+):
+    """Write every layer's current token in ONE op outside the layer scan —
+    the big buffers are never a scan carry (a carried cache costs a
+    capacity-proportional copy per step; see decode_attend_appended)."""
+    return jax.vmap(write_token)(k, v, k_new, v_new, length)
+
+
 def advance_lengths(
     length: jax.Array,  # [L, B]
     keep: jax.Array,  # [B] int32/bool — decision for layers >= sparse_layer
