@@ -152,17 +152,78 @@ def lm_head(params, cfg: LlamaConfig, x: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _qkv(lp, cfg: LlamaConfig, h: jax.Array, positions: jax.Array):
+import os as _os
+
+# Training-path fused q/k/v + gate/up projections (concat weights per layer
+# inside the scan, one wide matmul, slice). Measured on the v5e at the 0.55B
+# recipe shape, interleaved paired runs: ~3% SLOWER (351.7 ms fused vs
+# 339.9/342.0 separate at B=4 fused 1663) — the separate dots already run at
+# full MXU efficiency inside the layer scan (an isolated-microbenchmark win
+# did not transfer), and the per-layer weight concat is pure overhead. Kept
+# as an opt-in knob for wider shapes; default off.
+_FUSED_PROJ = _os.environ.get("DYNAMIC_LLAVA_FUSED_PROJ", "0") == "1"
+
+
+def _can_fuse(lp, names) -> bool:
+    """Plain (non-quantized) weight leaves can ride the fused matmul; LoRA
+    deltas are added separately so adapters don't block fusion."""
+    return _FUSED_PROJ and all(not isinstance(lp[n], dict) for n in names)
+
+
+def _lora_delta(lp, name: str, x: jax.Array):
+    lora = lp.get(f"{name}_lora")
+    if lora is None:
+        return None
+    return ((x @ lora["a"]) @ lora["b"]) * lora["s"]
+
+
+def _qkv(
+    lp, cfg: LlamaConfig, h: jax.Array, positions: jax.Array,
+    fused: bool = False,
+):
     b, s, _ = h.shape
-    q = lora_proj(lp, "q", h).reshape(b, s, cfg.num_attention_heads, cfg.head_dim)
-    k = lora_proj(lp, "k", h).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
-    v = lora_proj(lp, "v", h).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
+    nq = cfg.num_attention_heads * cfg.head_dim
+    nkv = cfg.num_key_value_heads * cfg.head_dim
+    if fused and _can_fuse(lp, ("q", "k", "v")):
+        # One [D, nq+2*nkv] matmul instead of three narrow ones: at training
+        # shapes the MXU runs the wide dot far closer to peak (measured
+        # fwd+bwd on the v5e at hidden 1536), and the per-layer weight
+        # concat inside the scan costs only one extra weight read —
+        # negligible against the big activation matmul. Decode/prefill
+        # inference keeps separate dots: at B~1 the concat would double the
+        # weight-bandwidth bill that dominates those regimes.
+        qkv = h @ jnp.concatenate([lp["q"], lp["k"], lp["v"]], axis=1)
+        q, k, v = jnp.split(qkv, (nq, nq + nkv), axis=-1)
+        dq, dk, dv = (_lora_delta(lp, n, h) for n in ("q", "k", "v"))
+        if dq is not None:
+            q = q + dq
+        if dk is not None:
+            k = k + dk
+        if dv is not None:
+            v = v + dv
+    else:
+        q = lora_proj(lp, "q", h)
+        k = lora_proj(lp, "k", h)
+        v = lora_proj(lp, "v", h)
+    q = q.reshape(b, s, cfg.num_attention_heads, cfg.head_dim)
+    k = k.reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
+    v = v.reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
     q = apply_rope_for_config(q, positions, cfg)
     k = apply_rope_for_config(k, positions, cfg)
     return q, k, v
 
 
-def _mlp(lp, h: jax.Array) -> jax.Array:
+def _mlp(lp, h: jax.Array, fused: bool = False) -> jax.Array:
+    if fused and _can_fuse(lp, ("gate", "up")):
+        f = lp["gate"].shape[-1]
+        gu = h @ jnp.concatenate([lp["gate"], lp["up"]], axis=1)
+        g, u = jnp.split(gu, (f,), axis=-1)
+        dg, du = _lora_delta(lp, "gate", h), _lora_delta(lp, "up", h)
+        if dg is not None:
+            g = g + dg
+        if du is not None:
+            u = u + du
+        return lora_proj(lp, "down", jax.nn.silu(g) * u)
     return lora_proj(
         lp, "down", jax.nn.silu(lora_proj(lp, "gate", h)) * lora_proj(lp, "up", h)
     )
@@ -179,7 +240,7 @@ def layer_nocache(
 ) -> jax.Array:
     b, s, d = x.shape
     h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
-    q, k, v = _qkv(lp, cfg, h, positions)
+    q, k, v = _qkv(lp, cfg, h, positions, fused=training)
     if mask is not None:
         if policy is not None:
             o = attend_with_policy(q, k, v, policy, mask=mask)
@@ -189,7 +250,7 @@ def layer_nocache(
         o = self_attend(q, k, v, policy=policy, training=training)
     x = x + lora_proj(lp, "o", o.reshape(b, s, -1))
     h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
-    return x + _mlp(lp, h)
+    return x + _mlp(lp, h, fused=training)
 
 
 # ---------------------------------------------------------------------------

@@ -129,3 +129,43 @@ def test_padded_batch_prefill_matches_per_sample():
         np.testing.assert_allclose(
             np.asarray(logits[i, L - 1]), per_sample_logits[i], atol=2e-4, rtol=2e-3
         )
+
+
+def test_fused_projections_match_separate(monkeypatch):
+    """DYNAMIC_LLAVA_FUSED_PROJ=1 training path (one concat-weights matmul
+    for q/k/v and gate/up, sliced after) must match the separate-dots path
+    exactly — with and without LoRA adapters attached."""
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    )
+    params = llama.init_llama_params(jax.random.key(0), cfg, jnp.float32)
+    x = jax.random.normal(jax.random.key(1), (2, 16, 64))
+    positions = jnp.broadcast_to(
+        jnp.arange(16, dtype=jnp.int32)[None], (2, 16)
+    )
+
+    def run(fused):
+        monkeypatch.setattr(llama, "_FUSED_PROJ", fused)
+        return llama.run_layers_nocache(
+            params, cfg, x, positions, training=True
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(run(True)), np.asarray(run(False)), atol=1e-6
+    )
+
+    layers = dict(params["layers"])
+    key = jax.random.key(2)
+    for name in ("q", "k", "v", "gate", "up"):
+        out = layers[name].shape[-1]
+        key, k1, k2 = jax.random.split(key, 3)
+        layers[f"{name}_lora"] = {
+            "a": jax.random.normal(k1, (2, 64, 8)) * 0.1,
+            "b": jax.random.normal(k2, (2, 8, out)) * 0.1,
+            "s": jnp.float32(0.5),
+        }
+    params = dict(params, layers=layers)
+    np.testing.assert_allclose(
+        np.asarray(run(True)), np.asarray(run(False)), atol=1e-6
+    )
