@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ClipVisionConfig
-from ..ops.attention import attend
+from ..ops.attention import attend, flash_enabled
 from ..ops.norm import layer_norm
 
 
@@ -82,7 +82,17 @@ def _encoder_layer(lp, cfg: ClipVisionConfig, x: jax.Array) -> jax.Array:
     q = (h @ lp["q_w"] + lp["q_b"]).reshape(b, n, nh, d // nh)
     k = (h @ lp["k_w"] + lp["k_b"]).reshape(b, n, nh, d // nh)
     v = (h @ lp["v_w"] + lp["v_b"]).reshape(b, n, nh, d // nh)
-    o = attend(q, k, v).reshape(b, n, d)
+    # Same size-based dispatch as the decoder: XLA's fused attention wins
+    # while the [B, H, N, N] fp32 score tensor fits (all B<=8 paths), but at
+    # large serving batches it becomes the prefill's HBM ceiling — B=64
+    # 7B-int4 prefill OOMed on 23 layers x 1.36 GB of CLIP score transients.
+    # The flash kernel (non-causal) never materializes it.
+    if flash_enabled(d // nh, b * nh * n * n * 4):
+        from ..ops.flash_attention import flash_attention_vjp
+
+        o = flash_attention_vjp(q, k, v, causal=False).reshape(b, n, d)
+    else:
+        o = attend(q, k, v).reshape(b, n, d)
     x = x + o @ lp["o_w"] + lp["o_b"]
     h = layer_norm(x, lp["ln2_w"], lp["ln2_b"], cfg.layer_norm_eps)
     x = x + quick_gelu(h @ lp["fc1_w"] + lp["fc1_b"]) @ lp["fc2_w"] + lp["fc2_b"]

@@ -171,6 +171,18 @@ def q4_kernel_supported(packed_shape, rows: int) -> bool:
     """Dispatch contract: decode-sized row counts only (single-token step
     at any serving batch — still weight-bandwidth-bound; the MXU pads the
     row tile either way). The XLA split path wins for prefill, whose row
-    counts are B*S >> 64 (compute-dominated; measured r3)."""
+    counts are B*S >> 64 (compute-dominated; measured r3).
+
+    The kernel's scoped-VMEM stack charge is the two fp32 output halves +
+    the two fp32 accumulator carries + the double-buffered DMA window; it
+    must fit the TPU's 16 MiB scoped limit (the compiler rejects the
+    program otherwise — observed at rows=64 on the vocab-width lm_head,
+    19.4 MiB). Oversized cases (in practice only lm_head at rows > 48)
+    fall back to the XLA split path, which costs ~2% of decode traffic."""
     k_dim, half = packed_shape[-2:]
-    return rows <= 64 and _pick_tk(k_dim, half) > 0
+    tk = _pick_tk(k_dim, half)
+    if rows > 64 or not tk:
+        return False
+    tm = -(-rows // 8) * 8
+    stack_bytes = 2 * tm * half * 4 * 2 + 2 * tk * half
+    return stack_bytes <= 16 * (1 << 20)

@@ -74,3 +74,25 @@ def test_projector_matches_hf_gelu(hf_and_params):
         ref = seq(torch.tensor(x)).numpy()
     ours = apply_projector(params, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5, rtol=1e-4)
+
+
+def test_clip_flash_dispatch_matches_xla(monkeypatch):
+    """The size-based flash dispatch in ``_encoder_layer`` must be a pure
+    performance knob: forcing the Pallas non-causal kernel (interpret mode on
+    CPU) has to reproduce the XLA ``attend`` tower features. Guards the B=64
+    serving prefill path, where the per-layer [B, H, N, N] CLIP score tensor
+    is what OOMs and flash is load-bearing."""
+    cfg = ClipVisionConfig.tiny(hidden_size=128, intermediate_size=256)
+    params = clip.init_clip_params(jax.random.PRNGKey(0), cfg)
+    imgs = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, cfg.image_size, cfg.image_size, 3)),
+        jnp.float32,
+    )
+
+    monkeypatch.setenv("DYNAMIC_LLAVA_FLASH", "0")
+    ref = clip.vision_tower_features(params, cfg, imgs)
+    monkeypatch.setenv("DYNAMIC_LLAVA_FLASH", "1")
+    got = clip.vision_tower_features(params, cfg, imgs)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-4
+    )

@@ -193,3 +193,21 @@ def test_index_layer_keeps_q4_stack():
         np.asarray(got, np.float32), np.asarray(ref, np.float32),
         atol=2e-2, rtol=2e-2,
     )
+
+
+def test_q4_kernel_dispatch_vmem_rule():
+    """Dispatch must reject shapes whose scoped-VMEM stack charge (fp32
+    outputs + accumulator carries + DMA window) exceeds the 16 MiB limit:
+    the vocab-width lm_head at rows=64 compiled to a 19.4 MiB stack and was
+    rejected by the TPU compiler. Layer-width matmuls stay on the kernel at
+    every decode batch; lm_head falls back above rows=48."""
+    from dynamic_llava_tpu.ops.quant_matmul import q4_kernel_supported
+
+    lm_head = (4096, 16000)  # 32k vocab split-half
+    assert q4_kernel_supported(lm_head, rows=8)
+    assert q4_kernel_supported(lm_head, rows=48)  # 15.6 MiB — measured ok
+    assert not q4_kernel_supported(lm_head, rows=64)  # 20.5 MiB — compiler OOM
+
+    for shape in ((4096, 2048), (4096, 5504), (11008, 2048)):  # 7B layers
+        assert q4_kernel_supported(shape, rows=64), shape
+    assert not q4_kernel_supported(lm_head, rows=65)  # row cap
