@@ -51,7 +51,13 @@ def parse_args(argv=None):
     p.add_argument("--logging_steps", type=int, default=10)
     p.add_argument("--save_steps", type=int, default=500)
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--gradient_checkpointing", action="store_true", default=True)
+    # BooleanOptionalAction so --no_gradient_checkpointing is expressible:
+    # measured on the v5e at 0.55B, turning remat OFF (the activations fit
+    # HBM at micro-batch<=4) is the single biggest MFU lever — 38% -> 47%
+    # with gradient_accumulation (docs/BENCHMARKS.md training table).
+    # Larger models keep the default on.
+    p.add_argument("--gradient_checkpointing",
+                   action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--remat_policy", type=str, default="nothing",
                    choices=["nothing", "dots"],
                    help="gradient-checkpoint policy: nothing=min memory, "

@@ -78,7 +78,8 @@ def build(args):
         base_lr=5e-6, predictor_lr=2e-4,
     )
     step = make_train_step(
-        cfg, optimizer, remat=True, labels=label_params(params),
+        cfg, optimizer, remat=not args.no_remat,
+        labels=label_params(params),
         remat_policy=args.remat_policy,
         grad_accum_steps=args.grad_accum,
     )
@@ -135,6 +136,7 @@ def run_once(args):
         "loss": round(loss, 3),
         "flash_env": os.environ.get("DYNAMIC_LLAVA_FLASH", "auto"),
         "remat_policy": args.remat_policy,
+        "remat": not args.no_remat,
         "grad_accum": args.grad_accum,
     }
 
@@ -151,6 +153,10 @@ def main():
     p.add_argument("--grad-accum", dest="grad_accum", type=int, default=1)
     p.add_argument("--remat-policy", dest="remat_policy", default="nothing",
                    choices=["nothing", "dots"])
+    p.add_argument("--no-remat", dest="no_remat", action="store_true",
+                   help="disable per-layer gradient checkpointing: at 0.55B "
+                        "B=4 the saved activations fit HBM, and full remat "
+                        "burns an extra forward (6/8 MFU ceiling)")
     p.add_argument("--sweep", action="store_true",
                    help="time auto / force-Pallas / force-XLA dispatch")
     args = p.parse_args()
@@ -176,7 +182,10 @@ def main():
                "--layers", str(args.layers), "--heads", str(args.heads),
                "--batch", str(args.batch), "--text-len", str(args.text_len),
                "--steps", str(args.steps),
+               "--grad-accum", str(args.grad_accum),
                "--remat-policy", args.remat_policy]
+        if args.no_remat:
+            cmd.append("--no-remat")
         out = subprocess.run(cmd, env=env, capture_output=True, text=True)
         line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
         print(f"flash={mode}: {line or out.stderr[-300:]}")
