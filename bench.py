@@ -130,8 +130,33 @@ ARMS = {
         "dense": _side("1b", 32, cache_dtype="float8_e4m3fn"),
         "metric": "serving_decode_tok_s_sparse_1b_proxy_b32_fp8kv",
     },
+    # The serving-config LADDER top (docs/BENCHMARKS.md): token pruning +
+    # int4 streaming GEMV + fp8 KV composed, each config at its largest
+    # fitting batch. The dense side is the ladder's stated baseline (dense
+    # int8 at ITS best fit) and is side-cached from 7b_best, so this arm
+    # costs ONE new side run.
+    "7b_ladder": {
+        "sparse": _side("7b", 48, quant="int4",
+                        cache_dtype="float8_e4m3fn"),
+        "dense": _side("7b", 8, quant="int8"),
+        "metric": "decode_tok_s_sparse_7b_int4fp8_b48_vs_dense_int8_b8",
+        "note": "composed ladder top vs the dense-int8-best baseline; "
+                "like-quant counterpart is the 7b_ladder_likequant arm",
+    },
+    # Same sparse side (cached) vs the LIKE-QUANT dense counterpart at its
+    # own measured ceiling (int4+fp8 B=32 rejected at compile, 16.13 GB).
+    "7b_ladder_likequant": {
+        "sparse": _side("7b", 48, quant="int4",
+                        cache_dtype="float8_e4m3fn"),
+        "dense": _side("7b", 28, quant="int4",
+                       cache_dtype="float8_e4m3fn"),
+        "metric": "decode_tok_s_sparse_7b_int4fp8_b48_vs_dense_int4fp8_b28",
+        "note": "matched-quantization capacity ratio: sparse reaches B=48, "
+                "dense stops at B=28",
+    },
 }
-ARM_ORDER = ("7b_best", "7b_batch", "serving", "7b", "serving_fp8")
+ARM_ORDER = ("7b_best", "7b_batch", "serving", "7b", "serving_fp8",
+             "7b_ladder", "7b_ladder_likequant")
 
 # kept for back-compat with run/ scripts that import CONFIGS
 CONFIGS = {

@@ -90,16 +90,28 @@ def index_layer(layers, i):
     unlike ``slice_layers``, which materializes a copy of the sub-range
     (for a 7B model that copy is ~12 GB and OOMs a single chip).
 
-    Packed-int4 leaves keep their FULL ``q4`` stack plus the index
-    (``{"q4": [L, ...], "s": sliced, "li": i}``): the Pallas streaming
-    matmul consumes the stack + index directly, because a pallas_call
-    input cannot fuse a producer dynamic-slice — slicing here would copy
-    ~100 MB of packed weights per matmul per step (ops/quant_matmul)."""
+    Quantized leaves (packed-int4 ``q4`` and int8 ``q``) keep their FULL
+    stack plus the index (``{"q4"|"q": [L, ...], "s": sliced, "li": i}``):
+    the Pallas streaming matmuls consume the stack + index directly,
+    because a pallas_call input cannot fuse a producer dynamic-slice —
+    slicing here would copy the layer's weights per matmul per step
+    (ops/quant_matmul)."""
+
+    # NOTE: a quantized leaf is {"q"|"q4", "s"} — the "s" requirement
+    # matters because the layers dict itself has a key named "q" (the
+    # q-projection), which must NOT be treated as a quantized leaf
+    def quant_leaf(node):
+        return (
+            isinstance(node, dict)
+            and "s" in node
+            and ("q4" in node or "q" in node)
+        )
 
     def pick(node):
-        if isinstance(node, dict) and "q4" in node:
+        if quant_leaf(node):
+            qk = "q4" if "q4" in node else "q"
             return {
-                "q4": node["q4"],
+                qk: node[qk],
                 "s": jax.lax.dynamic_index_in_dim(
                     node["s"], i, axis=0, keepdims=False
                 ),
@@ -110,10 +122,7 @@ def index_layer(layers, i):
             return node
         return jax.lax.dynamic_index_in_dim(node, i, axis=0, keepdims=False)
 
-    return jax.tree.map(
-        pick, layers,
-        is_leaf=lambda n: isinstance(n, dict) and "q4" in n,
-    )
+    return jax.tree.map(pick, layers, is_leaf=quant_leaf)
 
 
 def embed_tokens(params, ids: jax.Array) -> jax.Array:
@@ -133,11 +142,12 @@ def embed_tokens(params, ids: jax.Array) -> jax.Array:
 def lm_head(params, cfg: LlamaConfig, x: jax.Array) -> jax.Array:
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
     w = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
-    if (isinstance(w, dict) and "q4" in w
-            and not cfg.tie_word_embeddings):
-        from ..ops.quant import matmul_q4
+    if isinstance(w, dict) and not cfg.tie_word_embeddings:
+        from ..ops.quant import matmul_q4, matmul_q8
 
-        return matmul_q4(x, w, out_fp32=True)
+        if "q4" in w:
+            return matmul_q4(x, w, out_fp32=True)
+        return matmul_q8(x, w, out_fp32=True)
     if isinstance(w, dict):
         from ..ops.quant import dequantize_weight
 
@@ -168,6 +178,18 @@ def _can_fuse(lp, names) -> bool:
     """Plain (non-quantized) weight leaves can ride the fused matmul; LoRA
     deltas are added separately so adapters don't block fusion."""
     return _FUSED_PROJ and all(not isinstance(lp[n], dict) for n in names)
+
+
+def _quant_group(lp, names, x: jax.Array):
+    """Grouped int8 streaming GEMV over projections sharing ``x`` (one
+    kernel launch per group — see ops.quant.matmul_q8_group). None on any
+    non-int8 member or non-decode row count; callers fall back to
+    per-name lora_proj."""
+    if not any(isinstance(lp.get(n), dict) and "q" in lp[n] for n in names):
+        return None  # fast path: no import when nothing is int8
+    from ..ops.quant import matmul_q8_group
+
+    return matmul_q8_group(x, lp, names)
 
 
 def _lora_delta(lp, name: str, x: jax.Array):
@@ -202,9 +224,16 @@ def _qkv(
         if dv is not None:
             v = v + dv
     else:
-        q = lora_proj(lp, "q", h)
-        k = lora_proj(lp, "k", h)
-        v = lora_proj(lp, "v", h)
+        group = _quant_group(lp, ("q", "k", "v"), h)
+        if group is not None:
+            q, k, v = (
+                y if (d := _lora_delta(lp, n, h)) is None else y + d
+                for y, n in zip(group, ("q", "k", "v"))
+            )
+        else:
+            q = lora_proj(lp, "q", h)
+            k = lora_proj(lp, "k", h)
+            v = lora_proj(lp, "v", h)
     q = q.reshape(b, s, cfg.num_attention_heads, cfg.head_dim)
     k = k.reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
     v = v.reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
@@ -218,6 +247,15 @@ def _mlp(lp, h: jax.Array, fused: bool = False) -> jax.Array:
         f = lp["gate"].shape[-1]
         gu = h @ jnp.concatenate([lp["gate"], lp["up"]], axis=1)
         g, u = jnp.split(gu, (f,), axis=-1)
+        dg, du = _lora_delta(lp, "gate", h), _lora_delta(lp, "up", h)
+        if dg is not None:
+            g = g + dg
+        if du is not None:
+            u = u + du
+        return lora_proj(lp, "down", jax.nn.silu(g) * u)
+    group = _quant_group(lp, ("gate", "up"), h)
+    if group is not None:
+        g, u = group
         dg, du = _lora_delta(lp, "gate", h), _lora_delta(lp, "up", h)
         if dg is not None:
             g = g + dg

@@ -142,12 +142,32 @@ def write_token_layers(
     v: jax.Array,
     k_new: jax.Array,  # [L, B, 1, Hkv, d] per-layer current-token K
     v_new: jax.Array,
-    length: jax.Array,  # [L, B] slot per layer/sample
+    length: jax.Array,  # [L, B] slot per layer/sample (tier-uniform rows)
 ):
-    """Write every layer's current token in ONE op outside the layer scan —
-    the big buffers are never a scan carry (a carried cache costs a
-    capacity-proportional copy per step; see decode_attend_appended)."""
-    return jax.vmap(write_token)(k, v, k_new, v_new, length)
+    """Write every layer's current token outside the layer scan, as B
+    per-sample ``dynamic_update_slice``s each spanning the whole layer
+    axis.
+
+    Within a tier all layers share one length (the uniform-advance
+    invariant), so ``length[0]`` is the write slot for every layer and the
+    per-sample update is one contiguous [L, 1, 1, H, d] block. The dus
+    form matters: XLA's in-place-buffer optimization pattern-matches
+    dynamic-update-slice but NOT the scatter that a vmapped-over-batch
+    dus lowers to, and inside the decode-chain scan the scatter paid a
+    capacity-proportional carry copy — measured 5.5 ms of the 24.8 ms
+    7B-int8 B=24 step (decode_profile no_write delta) for ~25 MB of
+    actual writes."""
+    pos = length[0]  # [B] — tier invariant: identical across layers
+    n_batch = k.shape[1]
+    for bi in range(n_batch):
+        start = (0, bi, pos[bi], 0, 0)
+        k = jax.lax.dynamic_update_slice(
+            k, k_new[:, bi:bi + 1].astype(k.dtype), start
+        )
+        v = jax.lax.dynamic_update_slice(
+            v, v_new[:, bi:bi + 1].astype(v.dtype), start
+        )
+    return k, v
 
 
 def advance_lengths(

@@ -90,20 +90,65 @@ def quantize_weight(w: jax.Array, axis: int = 0, bits: int = 8) -> dict:
     return _quantize_2d_jit(w, axis, bits)
 
 
-def _q4_kernel_enabled() -> bool:
-    """Pallas single-read streaming GEMV dispatch (decode-sized row counts
-    only — see quant_matmul): the XLA split path below reads every packed
-    byte twice (~int8 traffic). Default: on for real TPU. Override with
-    DYNAMIC_LLAVA_Q4_KERNEL=0/1."""
+def _gemv_kernel_enabled(env_var: str) -> bool:
+    """Pallas streaming-GEMV dispatch gate (decode-sized row counts only —
+    see quant_matmul). Default: on for real TPU. Override with
+    DYNAMIC_LLAVA_Q4_KERNEL=0/1 (int4) / DYNAMIC_LLAVA_Q8_KERNEL (int8)."""
     import os
 
-    env = os.environ.get("DYNAMIC_LLAVA_Q4_KERNEL")
+    env = os.environ.get(env_var)
     if env is not None:
         return env not in ("0", "false", "False")
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:
         return False
+
+
+def _q4_kernel_enabled() -> bool:
+    return _gemv_kernel_enabled("DYNAMIC_LLAVA_Q4_KERNEL")
+
+
+def matmul_q8(x: jax.Array, leaf: dict, out_fp32: bool = False) -> jax.Array:
+    """x @ (q * s) for an int8 leaf WITHOUT materializing the bf16 weight
+    at decode row counts.
+
+    XLA fuses the int8 convert+scale into a B=1 GEMV, but at batched
+    decode rows (measured at 7B B=24) it materializes the dequantized
+    bf16 weight instead — int8 read + bf16 write + bf16 read is 3x the
+    weight traffic, and the weight matmuls ARE the batched decode step
+    (decode_profile: attention/head/cache-write no-op variants all time
+    ~52 ms of the 52 ms step). The streaming GEMV kernel reads each byte
+    once at any rows <= 64. Prefill row counts keep the XLA einsum, whose
+    dequant fuses fine when compute dominates."""
+    q, s = leaf["q"], leaf["s"]
+    li = leaf.get("li")  # stacked leaf from index_layer: q is [L, K, N]
+    if _gemv_kernel_enabled("DYNAMIC_LLAVA_Q8_KERNEL"):
+        from .quant_matmul import matmul_q8_pallas, q8_kernel_supported
+
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
+        if q8_kernel_supported(q.shape, rows):
+            return matmul_q8_pallas(
+                x, q, s, layer=0 if li is None else li, out_fp32=out_fp32
+            )
+        if li is None and q.ndim == 2:
+            # Vocab-width weights (the lm_head) exceed the one-block VMEM
+            # plan at batched-decode rows; split the OUTPUT columns over
+            # a few kernel calls instead of falling to the XLA einsum —
+            # measured at 7B-int8 B=24, the einsum path cost ~96 ms/step
+            # (4x the entire rest of the decode step).
+            from .quant_matmul import matmul_q8_col_split, q8_col_split_parts
+
+            if q8_col_split_parts(q.shape, rows):
+                return matmul_q8_col_split(x, q, s, out_fp32=out_fp32)
+    if li is not None:
+        # XLA fallback: the dynamic layer slice fuses into the dot below
+        q = jax.lax.dynamic_index_in_dim(q, li, axis=0, keepdims=False)
+    w = q.astype(x.dtype) * s.astype(x.dtype)
+    acc = jnp.float32 if out_fp32 else None
+    return jnp.einsum("...i,io->...o", x, w, preferred_element_type=acc)
 
 
 def matmul_q4(x: jax.Array, leaf: dict, out_fp32: bool = False) -> jax.Array:
@@ -143,6 +188,45 @@ def matmul_q4(x: jax.Array, leaf: dict, out_fp32: bool = False) -> jax.Array:
         jnp.einsum("...i,io->...o", x, lo, preferred_element_type=acc),
         jnp.einsum("...i,io->...o", x, hi, preferred_element_type=acc),
     ], axis=-1)
+
+
+def matmul_q8_group(x: jax.Array, lp: dict, names, out_fp32: bool = False):
+    """Grouped streaming GEMV over several int8 leaves sharing ``x`` (the
+    q/k/v and gate/up projections): ONE kernel launch per group instead
+    of one per matmul, amortizing the ~64 us per-program overhead that
+    dominates batched decode once the weight streams are at bandwidth.
+
+    Returns a tuple of outputs in ``names`` order, or None when the group
+    is not kernel-eligible (not all int8, mismatched layer indices,
+    prefill row counts, or no VMEM plan) — the caller then falls back to
+    per-name ``lora_proj``/``matmul_q8``."""
+    leaves = [lp.get(n) for n in names]
+    if not all(
+        isinstance(l, dict) and "q" in l and "s" in l for l in leaves
+    ):
+        return None
+    if not _gemv_kernel_enabled("DYNAMIC_LLAVA_Q8_KERNEL"):
+        return None
+    li = leaves[0].get("li")
+    # index_layer attaches the SAME index object to every leaf of a layer;
+    # identity is the cheap tracer-safe equality here
+    if any(l.get("li") is not li for l in leaves[1:]):
+        return None
+    from .quant_matmul import _q8_multi_plan, matmul_q8_multi_pallas
+
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    qs = [l["q"] for l in leaves]
+    k_dim = qs[0].shape[-2]
+    if any(q.shape[-2] != k_dim for q in qs):
+        return None
+    if _q8_multi_plan(k_dim, [q.shape[-1] for q in qs], rows) is None:
+        return None
+    return matmul_q8_multi_pallas(
+        x, tuple(qs), tuple(l["s"] for l in leaves),
+        layer=0 if li is None else li, out_fp32=out_fp32,
+    )
 
 
 def dequantize_weight(leaf, dtype=jnp.bfloat16) -> jax.Array:

@@ -1,4 +1,4 @@
-"""Pallas dequantizing int4 matmul — single-program streaming GEMV.
+"""Pallas dequantizing int4/int8 matmuls — single-program streaming GEMVs.
 
 The XLA path (``quant.matmul_q4``) splits x @ W4 into per-nibble halves,
 streaming every packed byte from HBM twice (~int8 traffic). A first
@@ -19,6 +19,15 @@ XLA split path, which wins when compute dominates.
 Layout contract is ``quant.pack_int4``'s split-half format. The XLA path
 is the semantic oracle; tests run this kernel in interpret mode on CPU
 and the dispatch is TPU-only.
+
+The int8 variant exists for a different reason than byte traffic: XLA
+fuses the int8 convert+scale into a GEMV at decode B=1, but at BATCHED
+decode row counts (B in [9, 64]) it switches to materializing the
+dequantized bf16 weight — tripling weight traffic (int8 read + bf16
+write + bf16 read). Measured at 7B-int8 B=24: the full decode step,
+decode attention, cache writes, and lm_head each patched to no-ops all
+time ~52 ms — the weight matmuls ARE the step. The streaming GEMV reads
+each int8 byte exactly once at every decode row count.
 
 Replaces the reference's bitsandbytes 4-bit CUDA kernels
 (/root/reference/llava/model/dynamic_llava_builder.py:51-60).
@@ -165,6 +174,322 @@ def matmul_q4_pallas(
     if tm != rows:
         y = y[:rows]
     return y.reshape(lead + (2 * half,))
+
+
+def _q8_gemv_kernel(
+    li_ref,  # [1] int32 layer index into the stacked weight (SMEM)
+    x_ref,  # [TM, K] activations (VMEM)
+    s_ref,  # [1, N] per-output-column scales (VMEM)
+    q_hbm,  # [L, K, N] int8 weights (stays in HBM; streamed)
+    y_ref,  # [TM, N] out
+    *,
+    tk: int,
+):
+    _, k_dim, n = q_hbm.shape
+    n_chunks = k_dim // tk
+    tm = x_ref.shape[0]
+    li = li_ref[0]
+
+    def body(bufs, sems):
+        def dma(slot, idx):
+            # full [L, K, N] stack + dynamic layer index, same contract as
+            # the int4 kernel: a pallas_call input cannot fuse a producer
+            # dynamic-slice, so slicing outside would copy the layer weights
+            return pltpu.make_async_copy(
+                q_hbm.at[li, pl.ds(idx * tk, tk), :],
+                bufs.at[slot],
+                sems.at[slot],
+            )
+
+        dma(0, 0).start()
+
+        def loop(i, acc):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_chunks)
+            def _():
+                dma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+            dma(slot, i).wait()
+            # int8 values (±127) are exact in bf16: the dot rides the MXU
+            # at bf16 rate with fp32 accumulation
+            w = bufs[slot].astype(jnp.bfloat16)
+            xb = x_ref[:, pl.ds(i * tk, tk)].astype(jnp.bfloat16)
+            return acc + jnp.dot(xb, w, preferred_element_type=jnp.float32)
+
+        acc = jax.lax.fori_loop(
+            0, n_chunks, loop, jnp.zeros((tm, n), jnp.float32)
+        )
+        y_ref[:] = (acc * s_ref[:].astype(jnp.float32)).astype(y_ref.dtype)
+
+    pl.run_scoped(
+        body,
+        bufs=pltpu.VMEM((2, tk, n), jnp.int8),
+        sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def _q8_plan(k_dim: int, n: int, rows: int):
+    """(tk, tm) for the int8 kernel, or None if unsupported.
+
+    tk must be a multiple of 128 (a bf16 vector load narrower than the
+    128-lane register is rejected by the TPU compiler — observed at tk=64
+    on the vocab-width lm_head). The DMA window prefers ~2 MB per buffer
+    and widens to 4 MB when a 128-row block of a wide output exceeds it
+    (the 32000-wide lm_head at tk=128 is 4.1 MB); the widened window plus
+    the fp32 accumulator CARRY (double-buffered by the loop — the
+    compiler charges two copies; measured 16.38 MiB vs a two-copy
+    estimate of 13.7 at the lm_head tm=24 shape), the out block, and the
+    x input must fit the 16 MiB scoped-VMEM limit with margin. That caps
+    the vocab-width lm_head at rows<=16; every 7B/13B layer width stays
+    on the kernel through rows=64."""
+    if rows > 64:
+        return None
+    tm = -(-rows // 8) * 8
+    for budget in (2 << 20, 4 << 20):
+        for tk in (512, 256, 128):
+            if k_dim % tk or tk * n > budget:
+                continue
+            stack_bytes = 3 * tm * n * 4 + 2 * tk * n + tm * k_dim * 2
+            if stack_bytes <= 15 * (1 << 20):
+                return tk, tm
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("out_fp32", "interpret"))
+def matmul_q8_pallas(
+    x: jax.Array,  # [..., K]
+    q: jax.Array,  # [K, N] or stacked [L, K, N] int8
+    scales: jax.Array,  # [1, N] per-output-column scales (layer-sliced)
+    layer: jax.Array | int = 0,
+    out_fp32: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """x @ (q[layer] * scales) without materializing the bf16 weight.
+    Decode-sized row counts; rows are padded to 8."""
+    if q.ndim == 2:
+        q = q[None]
+    n_layers, k_dim, n = q.shape
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, k_dim)
+    rows = x2.shape[0]
+    plan = _q8_plan(k_dim, n, rows)
+    if plan is None:
+        raise ValueError(f"K={k_dim}, N={n} not tileable at rows={rows}")
+    tk, tm = plan
+    if tm != rows:
+        x2 = jnp.pad(x2, ((0, tm - rows), (0, 0)))
+
+    out_dtype = jnp.float32 if out_fp32 else x.dtype
+    li = jnp.asarray(layer, jnp.int32).reshape(1)
+    y = pl.pallas_call(
+        functools.partial(_q8_gemv_kernel, tk=tk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # weights stay in HBM
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tm, n), out_dtype),
+        interpret=interpret,
+    )(li, x2, scales.reshape(1, n), q)
+    if tm != rows:
+        y = y[:rows]
+    return y.reshape(lead + (n,))
+
+
+def q8_kernel_supported(q_shape, rows: int) -> bool:
+    """Same dispatch contract as the int4 rule below: decode-sized row
+    counts, a 128-multiple K tile, and a scoped-VMEM stack (fp32 out +
+    fp32 accumulator carry + double-buffered DMA window) under the 16 MiB
+    limit — see _q8_plan. The N axis is unsplit (one output block), so
+    the vocab-width lm_head falls back above rows=16 and the XLA einsum
+    (a ~0.3 GB/step dequant materialization at B=24, ~2% of traffic)
+    serves it."""
+    k_dim, n = q_shape[-2:]
+    return _q8_plan(k_dim, n, rows) is not None
+
+
+def _q8_gemv_multi_kernel(li_ref, x_ref, *refs, tk: int, n_w: int):
+    """n_w weights sharing the SAME activations and contraction dim,
+    streamed in ONE program: refs = s_0..s_{n-1} (VMEM), p_0..p_{n-1}
+    (HBM), y_0..y_{n-1} (VMEM out). The per-program fixed overhead
+    (~64 us measured on the v5e: launch + DMA spin-up + in/out staging)
+    is paid once for the group instead of once per matmul — q/k/v and
+    gate/up are the natural groups (7 -> 4 kernel launches per decode
+    layer)."""
+    s_refs = refs[:n_w]
+    p_refs = refs[n_w:2 * n_w]
+    y_refs = refs[2 * n_w:]
+    k_dim = p_refs[0].shape[-2]
+    n_chunks = k_dim // tk
+    tm = x_ref.shape[0]
+    li = li_ref[0]
+
+    def body(*scoped):
+        bufs = scoped[:n_w]
+        sems = scoped[n_w:]
+
+        def dma(j, slot, idx):
+            return pltpu.make_async_copy(
+                p_refs[j].at[li, pl.ds(idx * tk, tk), :],
+                bufs[j].at[slot],
+                sems[j].at[slot],
+            )
+
+        for j in range(n_w):
+            dma(j, 0, 0).start()
+
+        def loop(i, accs):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_chunks)
+            def _():
+                for j in range(n_w):
+                    dma(j, jax.lax.rem(i + 1, 2), i + 1).start()
+
+            xb = x_ref[:, pl.ds(i * tk, tk)].astype(jnp.bfloat16)
+            new = []
+            for j in range(n_w):
+                dma(j, slot, i).wait()
+                w = bufs[j][slot].astype(jnp.bfloat16)
+                new.append(accs[j] + jnp.dot(
+                    xb, w, preferred_element_type=jnp.float32
+                ))
+            return tuple(new)
+
+        accs = jax.lax.fori_loop(
+            0, n_chunks, loop,
+            tuple(
+                jnp.zeros((tm, p.shape[-1]), jnp.float32) for p in p_refs
+            ),
+        )
+        for j in range(n_w):
+            y_refs[j][:] = (
+                accs[j] * s_refs[j][:].astype(jnp.float32)
+            ).astype(y_refs[j].dtype)
+
+    pl.run_scoped(
+        body,
+        *[pltpu.VMEM((2, tk, p.shape[-1]), jnp.int8) for p in p_refs],
+        *[pltpu.SemaphoreType.DMA((2,)) for _ in p_refs],
+    )
+
+
+def _q8_multi_plan(k_dim: int, ns, rows: int):
+    """(tk, tm) for a grouped int8 GEMV, or None. Same VMEM accounting as
+    _q8_plan, summed over the group's windows/accumulators/outputs."""
+    if rows > 64:
+        return None
+    tm = -(-rows // 8) * 8
+    # prefer the LARGEST tk whose total stack fits: shrinking tk to fit a
+    # window budget first (as the initial version did) traded kernel-launch
+    # overhead for DMA granularity and measured step-time-neutral
+    for tk in (512, 256, 128):
+        if k_dim % tk or any(tk * n > (2 << 20) for n in ns):
+            continue
+        stack = sum(3 * tm * n * 4 + 2 * tk * n for n in ns)
+        stack += tm * k_dim * 2
+        if stack <= 15 * (1 << 20):
+            return tk, tm
+    return None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_fp32", "interpret")
+)
+def matmul_q8_multi_pallas(
+    x: jax.Array,  # [..., K]
+    qs: tuple,  # n_w stacked [L, K, N_j] (or [K, N_j]) int8 weights
+    scales: tuple,  # n_w layer-sliced [1, N_j] scales
+    layer: jax.Array | int = 0,
+    out_fp32: bool = False,
+    interpret: bool = False,
+):
+    """One streaming program for a group of matmuls over the same x.
+    Returns a tuple of [..., N_j] outputs."""
+    qs = tuple(q[None] if q.ndim == 2 else q for q in qs)
+    k_dim = qs[0].shape[-2]
+    ns = [q.shape[-1] for q in qs]
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, k_dim)
+    rows = x2.shape[0]
+    plan = _q8_multi_plan(k_dim, ns, rows)
+    if plan is None:
+        raise ValueError(f"no multi plan for K={k_dim} ns={ns} rows={rows}")
+    tk, tm = plan
+    if tm != rows:
+        x2 = jnp.pad(x2, ((0, tm - rows), (0, 0)))
+    out_dtype = jnp.float32 if out_fp32 else x.dtype
+    li = jnp.asarray(layer, jnp.int32).reshape(1)
+    n_w = len(qs)
+    ys = pl.pallas_call(
+        functools.partial(_q8_gemv_multi_kernel, tk=tk, n_w=n_w),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.SMEM),
+             pl.BlockSpec(memory_space=pltpu.VMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_w
+            + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_w
+        ),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_w,
+        out_shape=[
+            jax.ShapeDtypeStruct((tm, n), out_dtype) for n in ns
+        ],
+        interpret=interpret,
+    )(li, x2, *[s.reshape(1, -1) for s in scales], *qs)
+    outs = []
+    for y, n in zip(ys, ns):
+        if tm != rows:
+            y = y[:rows]
+        outs.append(y.reshape(lead + (n,)))
+    return tuple(outs)
+
+
+def q8_col_split_parts(q_shape, rows: int) -> int:
+    """Number of output-column blocks (2 or 4) that makes an un-stacked
+    int8 weight kernel-eligible at ``rows``, or 0. Covers the vocab-width
+    lm_head at batched-decode rows, where the one-block plan exceeds
+    scoped VMEM but a column half/quarter fits."""
+    if len(q_shape) != 2 or rows > 64:
+        return 0
+    k_dim, n = q_shape
+    # each block must stay a multiple of 128 lanes; 5 covers the 32000
+    # llama vocab at rows where a half does not fit (32000/4 is not
+    # lane-aligned)
+    for parts in (2, 4, 5, 8):
+        if n % (parts * 128) == 0 and _q8_plan(k_dim, n // parts, rows):
+            return parts
+    return 0
+
+
+def matmul_q8_col_split(
+    x: jax.Array,
+    q: jax.Array,  # [K, N] int8 (un-stacked)
+    scales: jax.Array,
+    out_fp32: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """x @ (q * s) as ``parts`` column-block kernel calls. The static
+    column slices are loop-invariant, so XLA hoists the copies out of a
+    decode scan — one extra weight read per PROGRAM, not per step."""
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    parts = q8_col_split_parts(q.shape, rows)
+    if not parts:
+        raise ValueError(f"no column split fits {q.shape} at rows={rows}")
+    n = q.shape[-1]
+    nb = n // parts
+    s2 = scales.reshape(1, n)
+    outs = [
+        matmul_q8_pallas(
+            x, q[:, j * nb:(j + 1) * nb], s2[:, j * nb:(j + 1) * nb],
+            out_fp32=out_fp32, interpret=interpret,
+        )
+        for j in range(parts)
+    ]
+    return jnp.concatenate(outs, axis=-1)
 
 
 def q4_kernel_supported(packed_shape, rows: int) -> bool:

@@ -70,18 +70,19 @@ def attach_lora(params: dict, lora_layers: Dict[str, dict]) -> dict:
 
 def lora_proj(lp: dict, name: str, x: jax.Array) -> jax.Array:
     """x @ W (+ s * (x @ A) @ B when an adapter is attached). W may be an
-    int8 or packed-int4 quantized dict leaf (ops.quant): the dequant
-    convert/shifts fuse into the matmul."""
+    int8 or packed-int4 quantized dict leaf (ops.quant): both dispatch to
+    the Pallas streaming GEMV at decode row counts and to an XLA einsum
+    (dequant fused into the dot) at prefill/training row counts."""
     w = lp[name]
     if isinstance(w, dict) and "q4" in w:
         from ..ops.quant import matmul_q4
 
         y = matmul_q4(x, w)
-    else:
-        if isinstance(w, dict):
-            from ..ops.quant import dequantize_weight
+    elif isinstance(w, dict) and "q" in w:
+        from ..ops.quant import matmul_q8
 
-            w = dequantize_weight(w, x.dtype)
+        y = matmul_q8(x, w)
+    else:
         y = x @ w
     lora = lp.get(f"{name}_lora")
     if lora is not None:

@@ -7,7 +7,12 @@ cost at a time, so the gap decomposes into attention reads, cache
 update traffic, lm_head, and predictor overhead:
 
   full        — the production decode_step scan
-  no_head     — lm_head replaced by a zero-logits stub
+  no_head     — lm_head replaced by a zero-logits stub (NOTE: this also
+                makes the argmax constant, so the embed gather and
+                everything downstream of the token choice constant-folds
+                — it removes MORE than the head matmul)
+  no_embed    — embed_tokens replaced by a zero-vector stub (isolates the
+                token-dependent embedding gather)
   no_attn     — decode_attend replaced by identity (weights-only floor:
                 qkv/o/mlp matmuls + cache writes still run)
   no_write    — cache K/V writes skipped (attention over stale cache)
@@ -118,14 +123,27 @@ def time_variant(cfg, params, plan, imgs, args, variant):
             return jnp.zeros(lead + (v,), jnp.float32) + x[..., :1]
 
         ctx = patched(llama, "lm_head", stub_head)
+    elif variant == "no_embed":
+        d = cfg.text.hidden_size
+
+        def stub_embed(p, ids):
+            return jnp.zeros(ids.shape + (d,), jnp.bfloat16) + (
+                ids[..., None].astype(jnp.bfloat16) * 1e-6
+            )
+
+        # dynamic.py calls llama.embed_tokens through the module attribute,
+        # so one patch covers every call site
+        ctx = patched(llama, "embed_tokens", stub_embed)
     elif variant == "no_attn":
         ctx = patched(
             attn_mod, "decode_attend",
             lambda q, k, v, length, scale=None: q,
         )
     elif variant == "no_write":
+        # llama.py imports the symbol directly; patch ITS binding
         ctx = patched(
-            kv_mod, "write_token", lambda kl, vl, kn, vn, ln: (kl, vl)
+            llama, "write_token_layers",
+            lambda k, v, kn, vn, ln: (k, v),
         )
     elif variant == "kernel":
         os.environ["DYNAMIC_LLAVA_DECODE_KERNEL"] = "1"
@@ -151,7 +169,14 @@ def time_variant(cfg, params, plan, imgs, args, variant):
         state = jax.block_until_ready(
             prefill_jit(params, cache, *pf_args, imgs)
         )
-        state = jax.block_until_ready(chain_jit(params, state, args.steps))
+        state = chain_jit(params, state, args.steps)
+        # a real host FETCH, not block_until_ready: through the axon tunnel
+        # the latter returns before remote execution (and the first
+        # variant's compile) finishes, so the timed run below would overlap
+        # leftover warmup work — the first variant of every process
+        # measured garbage until this drain (observed: 11163 ms, 667 ms,
+        # 1258 ms firsts across three profile runs)
+        _ = float(state.last_logits[0, 0])
         t0 = time.perf_counter()
         state = chain_jit(params, state, args.steps)
         _ = float(state.last_logits[0, 0])

@@ -211,3 +211,227 @@ def test_q4_kernel_dispatch_vmem_rule():
     for shape in ((4096, 2048), (4096, 5504), (11008, 2048)):  # 7B layers
         assert q4_kernel_supported(shape, rows=64), shape
     assert not q4_kernel_supported(lm_head, rows=65)  # row cap
+
+
+def test_matmul_q8_pallas_matches_xla_oracle():
+    """Interpret-mode int8 streaming GEMV vs the fused-dequant einsum (the
+    semantic oracle) across row regimes, out dtypes, and leading dims."""
+    from dynamic_llava_tpu.ops.quant import quantize_weight
+    from dynamic_llava_tpu.ops.quant_matmul import (
+        matmul_q8_pallas,
+        q8_kernel_supported,
+    )
+
+    rng = np.random.default_rng(10)
+    k_dim, out = 256, 512
+    w = jnp.asarray(rng.normal(size=(k_dim, out)) * 0.02, jnp.bfloat16)
+    leaf = quantize_weight(w, axis=0, bits=8)
+    assert q8_kernel_supported(leaf["q"].shape, rows=1)
+
+    for rows in (1, 3, 24):
+        x = jnp.asarray(rng.normal(size=(rows, k_dim)), jnp.bfloat16)
+        wd = leaf["q"].astype(x.dtype) * leaf["s"].astype(x.dtype)
+        ref = jnp.einsum("ri,io->ro", x, wd)
+        got = matmul_q8_pallas(x, leaf["q"], leaf["s"], interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
+        got32 = matmul_q8_pallas(
+            x, leaf["q"], leaf["s"], out_fp32=True, interpret=True
+        )
+        assert got32.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(got32), np.asarray(ref, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
+
+    x3 = jnp.asarray(rng.normal(size=(2, 5, k_dim)), jnp.bfloat16)
+    got3 = matmul_q8_pallas(x3, leaf["q"], leaf["s"], interpret=True)
+    assert got3.shape == (2, 5, out)
+
+
+def test_matmul_q8_pallas_stacked_layer_index():
+    """The int8 kernel consumes the FULL [L, K, N] stack plus a layer
+    index (no sliced copy inside a layer scan); every layer must match
+    the per-layer oracle."""
+    from dynamic_llava_tpu.ops.quant import quantize_weight
+    from dynamic_llava_tpu.ops.quant_matmul import matmul_q8_pallas
+
+    rng = np.random.default_rng(11)
+    n_layers, k_dim, out = 3, 128, 256
+    w = jnp.asarray(
+        rng.normal(size=(n_layers, k_dim, out)) * 0.02, jnp.bfloat16
+    )
+    leaf = quantize_weight(w, axis=1, bits=8)  # {"q": [L,K,N], "s": [L,1,N]}
+    x = jnp.asarray(rng.normal(size=(2, k_dim)), jnp.bfloat16)
+
+    for li in range(n_layers):
+        wd = leaf["q"][li].astype(x.dtype) * leaf["s"][li].astype(x.dtype)
+        ref = jnp.einsum("ri,io->ro", x, wd)
+        got = matmul_q8_pallas(
+            x, leaf["q"], leaf["s"][li], layer=jnp.int32(li), interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
+
+
+def test_index_layer_keeps_q8_stack():
+    """index_layer must NOT slice int8 stacks either (same pallas-input
+    contract as q4); the XLA fallback slices in-graph and matches."""
+    from dynamic_llava_tpu.models.llama import index_layer
+    from dynamic_llava_tpu.ops.quant import (
+        dequantize_weight,
+        matmul_q8,
+        quantize_weight,
+    )
+
+    rng = np.random.default_rng(12)
+    w = jnp.asarray(rng.normal(size=(2, 16, 32)) * 0.02, jnp.bfloat16)
+    layers = {
+        "q": quantize_weight(w, axis=1, bits=8),
+        "input_ln": jnp.ones((2, 16), jnp.bfloat16),
+    }
+    lp = index_layer(layers, jnp.int32(1))
+    assert lp["q"]["q"].shape == (2, 16, 32)  # full stack kept
+    assert lp["q"]["s"].shape == (1, 32)  # scales sliced
+    assert int(lp["q"]["li"]) == 1
+    assert lp["input_ln"].shape == (16,)
+
+    x = jnp.asarray(rng.normal(size=(1, 16)), jnp.bfloat16)
+    got = matmul_q8(x, lp["q"])
+    ref = x @ dequantize_weight(
+        {"q": layers["q"]["q"][1], "s": layers["q"]["s"][1]}, jnp.bfloat16
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_q8_kernel_dispatch_vmem_rule():
+    """int8 dispatch: decode row counts only; the unsplit-N output block
+    must keep the scoped-VMEM stack (fp32 out + fp32 accumulator + DMA
+    window) under the scoped limit — the vocab-width lm_head falls back
+    above rows=24; 7B layer widths stay on the kernel at every decode
+    batch."""
+    from dynamic_llava_tpu.ops.quant_matmul import q8_kernel_supported
+
+    lm_head = (4096, 32000)
+    assert q8_kernel_supported(lm_head, rows=8)
+    assert q8_kernel_supported(lm_head, rows=16)  # 14.3 MiB (3-copy charge)
+    assert not q8_kernel_supported(lm_head, rows=24)  # compiler measured
+    # 16.38 MiB scoped at this shape; and tk would be 64 lanes at a 2 MB
+    # window — the 4 MB tier keeps the K tile at 128 lanes
+    for shape in ((4096, 4096), (4096, 11008), (11008, 4096)):
+        assert q8_kernel_supported(shape, rows=64), shape
+    assert not q8_kernel_supported((4096, 4096), rows=65)  # row cap
+
+
+def test_matmul_q8_col_split_matches_oracle():
+    """The vocab-width column-split path (lm_head at batched-decode rows)
+    must reproduce the fused-dequant einsum; the parts rule must engage
+    exactly when the one-block plan does not fit."""
+    from dynamic_llava_tpu.ops.quant import quantize_weight
+    from dynamic_llava_tpu.ops.quant_matmul import (
+        matmul_q8_col_split,
+        q8_col_split_parts,
+        q8_kernel_supported,
+    )
+
+    # real lm_head shape: one-block fails at rows=24, a column half fits
+    assert not q8_kernel_supported((4096, 32000), rows=24)
+    assert q8_col_split_parts((4096, 32000), rows=24) == 2
+    assert q8_col_split_parts((4096, 32000), rows=64) == 5  # 32000/4 is
+    # not 128-lane aligned; five 6400-wide blocks are
+    assert q8_col_split_parts((4096, 32000), rows=65) == 0
+    assert q8_col_split_parts((3, 4096, 32000), rows=24) == 0  # stacked
+
+    rng = np.random.default_rng(13)
+    k_dim, out = 256, 512
+    w = jnp.asarray(rng.normal(size=(k_dim, out)) * 0.02, jnp.bfloat16)
+    leaf = quantize_weight(w, axis=0, bits=8)
+    x = jnp.asarray(rng.normal(size=(5, k_dim)), jnp.bfloat16)
+    wd = leaf["q"].astype(x.dtype) * leaf["s"].astype(x.dtype)
+    ref = jnp.einsum("ri,io->ro", x, wd)
+    got = matmul_q8_col_split(x, leaf["q"], leaf["s"], interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+    got32 = matmul_q8_col_split(
+        x, leaf["q"], leaf["s"], out_fp32=True, interpret=True
+    )
+    assert got32.dtype == jnp.float32
+
+
+def test_matmul_q8_multi_matches_oracle():
+    """The grouped (q/k/v, gate/up) streaming GEMV must match per-weight
+    fused-dequant einsums for stacked weights at every layer index."""
+    from dynamic_llava_tpu.ops.quant import quantize_weight
+    from dynamic_llava_tpu.ops.quant_matmul import (
+        _q8_multi_plan,
+        matmul_q8_multi_pallas,
+    )
+
+    rng = np.random.default_rng(14)
+    n_layers, k_dim = 2, 256
+    ns = (128, 128, 256)
+    leaves = [
+        quantize_weight(
+            jnp.asarray(
+                rng.normal(size=(n_layers, k_dim, n)) * 0.02, jnp.bfloat16
+            ),
+            axis=1, bits=8,
+        )
+        for n in ns
+    ]
+    assert _q8_multi_plan(k_dim, list(ns), rows=3)
+    x = jnp.asarray(rng.normal(size=(3, k_dim)), jnp.bfloat16)
+    for li in range(n_layers):
+        got = matmul_q8_multi_pallas(
+            x,
+            tuple(l["q"] for l in leaves),
+            tuple(l["s"][li] for l in leaves),
+            layer=jnp.int32(li),
+            interpret=True,
+        )
+        assert len(got) == len(ns)
+        for y, leaf in zip(got, leaves):
+            wd = leaf["q"][li].astype(x.dtype) * leaf["s"][li].astype(x.dtype)
+            ref = jnp.einsum("ri,io->ro", x, wd)
+            np.testing.assert_allclose(
+                np.asarray(y, np.float32), np.asarray(ref, np.float32),
+                atol=2e-2, rtol=2e-2,
+            )
+
+
+def test_q8_multi_plan_shapes():
+    """7B q/k/v and gate/up groups must be plannable at batched-decode
+    rows; mixed contraction dims and prefill rows must not."""
+    from dynamic_llava_tpu.ops.quant import matmul_q8_group
+    from dynamic_llava_tpu.ops.quant_matmul import _q8_multi_plan
+
+    assert _q8_multi_plan(4096, [4096, 4096, 4096], rows=24)
+    assert _q8_multi_plan(4096, [4096, 4096, 4096], rows=64)
+    assert _q8_multi_plan(4096, [11008, 11008], rows=24)
+    assert not _q8_multi_plan(4096, [4096], rows=65)
+
+    # group dispatch: mismatched layer-index identity bails to None
+    rng = np.random.default_rng(15)
+    import jax as _jax
+
+    from dynamic_llava_tpu.ops.quant import quantize_weight
+
+    w = jnp.asarray(rng.normal(size=(16, 32)) * 0.02, jnp.bfloat16)
+    la = quantize_weight(w, axis=0, bits=8)
+    lb = dict(quantize_weight(w, axis=0, bits=8))
+    la2 = dict(la)
+    la2["li"] = jnp.int32(0)
+    lb["li"] = jnp.int32(1)  # different index object/value
+    x = jnp.asarray(rng.normal(size=(1, 16)), jnp.bfloat16)
+    assert matmul_q8_group(x, {"a": la2, "b": lb}, ("a", "b")) is None
+    # non-quantized member bails too
+    assert matmul_q8_group(x, {"a": la, "b": w}, ("a", "b")) is None
