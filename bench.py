@@ -352,11 +352,46 @@ class _FullRun:
         print(json.dumps(summary), flush=True)
 
 
+def _backend_alive(timeout_s: float = 90.0) -> bool:
+    """True if the default JAX platform initializes AND executes an op.
+
+    Probed in a subprocess with a timeout: a degraded axon tunnel makes
+    jax.devices() (or the first dispatch) block indefinitely inside backend
+    init, which would otherwise burn the whole bench budget on the first
+    side before the arm-skip logic ever ran.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(int(jnp.ones(()).sum()))"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return r.returncode == 0 and r.stdout.strip().endswith("1")
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def run_full():
     budget = float(os.environ.get("BENCH_BUDGET_S", "2700"))
     arms = os.environ.get("BENCH_ARMS")
     order = tuple(arms.split(",")) if arms else ARM_ORDER
     run = _FullRun(budget)
+    # Fail fast (with an honest summary) instead of hanging when the TPU
+    # tunnel is down; give it a bounded window to recover first.
+    recovery_deadline = time.time() + min(900.0, budget / 3)
+    while not _backend_alive():
+        if time.time() > recovery_deadline:
+            run.detail["backend"] = {
+                "error": "accelerator backend unreachable (device probe "
+                         "timed out repeatedly); no arms attempted",
+            }
+            run.emit_summary(final=True)
+            return
+        print("BENCH_WAIT backend probe failed; retrying", flush=True)
+        time.sleep(60)
     for name in order:
         run.run_arm(name)
         # summary re-emitted after every arm: the last bare JSON line on
