@@ -109,6 +109,18 @@ def _q4_kernel_enabled() -> bool:
     return _gemv_kernel_enabled("DYNAMIC_LLAVA_Q4_KERNEL")
 
 
+def _q4_unpack_mode() -> str:
+    """Nibble-unpack domain inside the int4 GEMV kernel: "i32" (widen to
+    32-bit lanes, the measured round-3 default) or "i8" (8-bit-lane
+    shifts — a quarter of the VPU register traffic per byte; candidate
+    for the 62%-of-roofline gap, pending real-chip measurement).
+    Override with DYNAMIC_LLAVA_Q4_UNPACK=i8."""
+    import os
+
+    mode = os.environ.get("DYNAMIC_LLAVA_Q4_UNPACK", "i32")
+    return mode if mode in ("i32", "i8") else "i32"
+
+
 def matmul_q8(x: jax.Array, leaf: dict, out_fp32: bool = False) -> jax.Array:
     """x @ (q * s) for an int8 leaf WITHOUT materializing the bf16 weight
     at decode row counts.
@@ -173,8 +185,20 @@ def matmul_q4(x: jax.Array, leaf: dict, out_fp32: bool = False) -> jax.Array:
             rows *= d
         if q4_kernel_supported(p.shape, rows):
             return matmul_q4_pallas(
-                x, p, s, layer=0 if li is None else li, out_fp32=out_fp32
+                x, p, s, layer=0 if li is None else li, out_fp32=out_fp32,
+                unpack=_q4_unpack_mode(),
             )
+        if li is None and p.ndim == 2:
+            # Vocab-width int4 lm_head at batched-decode rows > 48: the
+            # one-block VMEM plan exceeds the scoped limit; split the
+            # packed columns over a few kernel calls (the int8 lm_head's
+            # col-split treatment) instead of falling to the XLA path
+            from .quant_matmul import matmul_q4_col_split, q4_col_split_parts
+
+            if q4_col_split_parts(p.shape, rows):
+                return matmul_q4_col_split(
+                    x, p, s, out_fp32=out_fp32, unpack=_q4_unpack_mode()
+                )
     if li is not None:
         # XLA fallback: the dynamic layer slice fuses into the dots below
         p = jax.lax.dynamic_index_in_dim(p, li, axis=0, keepdims=False)

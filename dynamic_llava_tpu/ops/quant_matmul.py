@@ -53,6 +53,7 @@ def _q4_gemv_kernel(
     yhi_ref,  # [TM, half] out, columns [half, 2*half)
     *,
     tk: int,
+    unpack: str = "i32",
 ):
     _, k_dim, half = p_hbm.shape
     n_chunks = k_dim // tk
@@ -83,12 +84,20 @@ def _q4_gemv_kernel(
                 dma(jax.lax.rem(i + 1, 2), i + 1).start()
 
             dma(slot, i).wait()
-            p = bufs[slot].astype(jnp.int32)
             # ONE HBM read of the block serves both nibble halves; nibble
             # values (±7) are exact in bf16, so the dots ride the MXU at
             # bf16 rate with fp32 accumulation
-            lo = (jnp.left_shift(p, 28) >> 28).astype(jnp.bfloat16)
-            hi = (p >> 4).astype(jnp.bfloat16)
+            if unpack == "i8":
+                # int8-domain shifts: sign extension via (p<<4)>>4 stays in
+                # 8-bit lanes — a quarter of the i32 path's VPU register
+                # traffic per byte (knob DYNAMIC_LLAVA_Q4_UNPACK=i8)
+                p8 = bufs[slot]
+                lo = (jnp.left_shift(p8, 4) >> 4).astype(jnp.bfloat16)
+                hi = (p8 >> 4).astype(jnp.bfloat16)
+            else:
+                p = bufs[slot].astype(jnp.int32)
+                lo = (jnp.left_shift(p, 28) >> 28).astype(jnp.bfloat16)
+                hi = (p >> 4).astype(jnp.bfloat16)
             xb = x_ref[:, pl.ds(i * tk, tk)].astype(jnp.bfloat16)
             acc_lo = acc_lo + jnp.dot(
                 xb, lo, preferred_element_type=jnp.float32
@@ -124,7 +133,9 @@ def _pick_tk(k_dim: int, half: int) -> int:
     return 0
 
 
-@functools.partial(jax.jit, static_argnames=("out_fp32", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("out_fp32", "interpret", "unpack")
+)
 def matmul_q4_pallas(
     x: jax.Array,  # [..., K]
     packed: jax.Array,  # [K, half] or stacked [L, K, half] int8 nibble pairs
@@ -132,6 +143,7 @@ def matmul_q4_pallas(
     layer: jax.Array | int = 0,  # layer index into a stacked weight
     out_fp32: bool = False,
     interpret: bool = False,
+    unpack: str = "i32",
 ) -> jax.Array:
     """x @ deq(packed[layer]) with split-half layout. Returns [..., 2*half].
     Intended for GEMV-like row counts (decode); rows are padded to 8. A 2D
@@ -152,7 +164,7 @@ def matmul_q4_pallas(
     out_dtype = jnp.float32 if out_fp32 else x.dtype
     li = jnp.asarray(layer, jnp.int32).reshape(1)
     ylo, yhi = pl.pallas_call(
-        functools.partial(_q4_gemv_kernel, tk=tk),
+        functools.partial(_q4_gemv_kernel, tk=tk, unpack=unpack),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -490,6 +502,61 @@ def matmul_q8_col_split(
         for j in range(parts)
     ]
     return jnp.concatenate(outs, axis=-1)
+
+
+def q4_col_split_parts(packed_shape, rows: int) -> int:
+    """Number of PACKED-column blocks (2/4/5/8) that makes an un-stacked
+    int4 weight kernel-eligible at ``rows``, or 0. Covers the vocab-width
+    int4 lm_head at batched-decode rows > 48, where the one-block VMEM
+    plan exceeds the scoped limit but a column fraction fits (the int8
+    counterpart is ``q8_col_split_parts``)."""
+    if len(packed_shape) != 2 or rows > 64:
+        return 0
+    k_dim, half = packed_shape
+    for parts in (2, 4, 5, 8):
+        if half % (parts * 128) == 0 and q4_kernel_supported(
+            (k_dim, half // parts), rows
+        ):
+            return parts
+    return 0
+
+
+def matmul_q4_col_split(
+    x: jax.Array,
+    packed: jax.Array,  # [K, half] int8 nibble pairs (un-stacked)
+    scales: jax.Array,  # [1, 2*half]
+    out_fp32: bool = False,
+    interpret: bool = False,
+    unpack: str = "i32",
+) -> jax.Array:
+    """x @ deq(packed) as ``parts`` packed-column kernel calls. Each block
+    contributes output columns [j*nb, (j+1)*nb) of the LO half and the
+    matching slice of the HI half, so the blocks' (lo, hi) pairs are
+    re-assembled lo-first to preserve the split-half output layout. The
+    static column slices are loop-invariant — XLA hoists the copies out
+    of a decode scan (one extra weight read per PROGRAM, not per step)."""
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    parts = q4_col_split_parts(packed.shape, rows)
+    if not parts:
+        raise ValueError(f"no column split fits {packed.shape} rows={rows}")
+    half = packed.shape[-1]
+    nb = half // parts
+    s2 = scales.reshape(1, 2 * half)
+    los, his = [], []
+    for j in range(parts):
+        s_blk = jnp.concatenate(
+            [s2[:, j * nb:(j + 1) * nb],
+             s2[:, half + j * nb:half + (j + 1) * nb]], axis=-1,
+        )
+        y = matmul_q4_pallas(
+            x, packed[:, j * nb:(j + 1) * nb], s_blk,
+            out_fp32=out_fp32, interpret=interpret, unpack=unpack,
+        )
+        los.append(y[..., :nb])
+        his.append(y[..., nb:])
+    return jnp.concatenate(los + his, axis=-1)
 
 
 def q4_kernel_supported(packed_shape, rows: int) -> bool:

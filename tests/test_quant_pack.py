@@ -131,6 +131,74 @@ def test_matmul_q4_pallas_matches_xla_oracle():
     assert got3.shape == (2, 5, out)
 
 
+def test_matmul_q4_pallas_i8_unpack_matches_i32():
+    """The int8-domain nibble unpack (DYNAMIC_LLAVA_Q4_UNPACK=i8) must be
+    bit-identical to the i32 path: both sign-extend the low nibble and
+    arithmetic-shift the high one, only the lane width differs."""
+    from dynamic_llava_tpu.ops.quant import quantize_weight
+    from dynamic_llava_tpu.ops.quant_matmul import matmul_q4_pallas
+
+    rng = np.random.default_rng(21)
+    k_dim, out = 256, 512
+    w = jnp.asarray(rng.normal(size=(k_dim, out)) * 0.02, jnp.bfloat16)
+    leaf = quantize_weight(w, axis=0, bits=4)
+    for rows in (1, 24):
+        x = jnp.asarray(rng.normal(size=(rows, k_dim)), jnp.bfloat16)
+        a = matmul_q4_pallas(
+            x, leaf["q4"], leaf["s"], interpret=True, unpack="i32"
+        )
+        b = matmul_q4_pallas(
+            x, leaf["q4"], leaf["s"], interpret=True, unpack="i8"
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_matmul_q4_col_split_matches_oracle():
+    """The packed-column split path (vocab-width int4 lm_head at
+    batched-decode rows > 48) must reproduce the XLA split-half oracle
+    INCLUDING the lo-first output-column layout, and the parts rule must
+    engage exactly when the one-block plan does not fit."""
+    from dynamic_llava_tpu.ops.quant import quantize_weight
+    from dynamic_llava_tpu.ops.quant_matmul import (
+        matmul_q4_col_split,
+        q4_col_split_parts,
+        q4_kernel_supported,
+    )
+
+    # real int4 lm_head shape (half=16000): one-block fits through rows=48,
+    # a column split covers the rest of the decode row range
+    assert q4_kernel_supported((4096, 16000), rows=48)
+    assert not q4_kernel_supported((4096, 16000), rows=49)
+    # 16000 lanes split 5-ways (3200): halves/quarters are not 128-aligned
+    assert q4_col_split_parts((4096, 16000), rows=64) == 5
+    assert q4_col_split_parts((4096, 16000), rows=65) == 0
+    assert q4_col_split_parts((3, 4096, 16000), rows=24) == 0  # stacked
+
+    rng = np.random.default_rng(17)
+    k_dim, out = 256, 1024  # half=512 splits into 2x256-lane blocks
+    w = jnp.asarray(rng.normal(size=(k_dim, out)) * 0.02, jnp.bfloat16)
+    leaf = quantize_weight(w, axis=0, bits=4)
+    p, s = leaf["q4"], leaf["s"]
+    half = p.shape[-1]
+    assert q4_col_split_parts(p.shape, rows=5) >= 2
+    x = jnp.asarray(rng.normal(size=(5, k_dim)), jnp.bfloat16)
+    lo = (jnp.left_shift(p, 4) >> 4).astype(x.dtype) * s[..., :half].astype(x.dtype)
+    hi = (p >> 4).astype(x.dtype) * s[..., half:].astype(x.dtype)
+    ref = jnp.concatenate([
+        jnp.einsum("ri,io->ro", x, lo), jnp.einsum("ri,io->ro", x, hi)
+    ], axis=-1)
+    got = matmul_q4_col_split(x, p, s, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+    got32 = matmul_q4_col_split(x, p, s, out_fp32=True, interpret=True)
+    assert got32.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(got32), np.asarray(ref, np.float32), atol=2e-2, rtol=2e-2
+    )
+
+
 def test_matmul_q4_pallas_stacked_layer_index():
     """The streaming kernel consumes the FULL [L, K, half] stack plus a
     layer index (no sliced copy inside a layer scan); every layer must
