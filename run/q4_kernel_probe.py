@@ -1,0 +1,168 @@
+"""Raw int4-GEMV kernel variant timing on the real TPU.
+
+The streaming int4 kernel measures ~62% of its single-read HBM roofline at
+7B B=1 while the int8 twin reaches ~83% (docs/BENCHMARKS.md). The suspect
+is unpack VPU work: the i32 path widens every byte to 32-bit lanes before
+the two shifts. This probe times the raw kernels per weight shape so the
+candidate fixes can be judged in isolation before touching dispatch
+defaults:
+
+  xla   — the split-half einsum pair (reads every packed byte twice)
+  i32   — production kernel, int32-domain unpack (round-3 default)
+  i8    — int8-domain unpack (DYNAMIC_LLAVA_Q4_UNPACK=i8 candidate)
+  split — packed-column split (vocab-width lm_head at rows > 48 only)
+
+Timing follows the repo lore (CLAUDE.md): warm up with a REAL host fetch
+(block_until_ready returns early through the tunnel), then chain N
+dependent calls inside one jit and fetch ONE scalar. Per-call time is the
+chain time / N; the ~29 ms tunnel round-trip is paid once.
+
+  python run/q4_kernel_probe.py            # 7B shapes, rows 1 and 24
+  python run/q4_kernel_probe.py --rows 64  # includes the lm_head split
+"""
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+# (name, K, N) — the 7B decode matmul menu; 13B via --model 13b
+SHAPES_7B = [
+    ("qkv_o", 4096, 4096),
+    ("gate_up", 4096, 11008),
+    ("down", 11008, 4096),
+    ("lm_head", 4096, 32000),
+]
+SHAPES_13B = [
+    ("qkv_o", 5120, 5120),
+    ("gate_up", 5120, 13824),
+    ("down", 13824, 5120),
+    ("lm_head", 5120, 32000),
+]
+
+
+def _chain(fn, n_iters):
+    """jit(fori_loop) of n dependent fn(x, p, s) calls -> one scalar.
+    Weights ride as explicit jit args (closure constants bake the packed
+    buffer into the HLO — the repo-wide rule, CLAUDE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(x, p, s):
+        def body(_, carry):
+            xc, acc = carry
+            y = fn(xc, p, s)
+            acc = acc + y.astype(jnp.float32).sum()
+            # data dependency without numeric drift: the add is ~0 in bf16
+            # but involves the dynamic acc, so XLA cannot fold or reorder it
+            xc = xc + (acc * 1e-38).astype(xc.dtype)
+            return xc, acc
+
+        _, acc = jax.lax.fori_loop(
+            0, n_iters, body, (x, jnp.float32(0.0))
+        )
+        return acc
+
+    return run
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="7b", choices=("7b", "13b"))
+    ap.add_argument("--rows", type=int, nargs="*", default=[1, 24])
+    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--skip-xla", action="store_true")
+    ap.add_argument(
+        "--interpret", action="store_true",
+        help="CPU smoke mode: tiny shapes, interpret-mode kernels",
+    )
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    from dynamic_llava_tpu.ops.quant import quantize_weight
+    from dynamic_llava_tpu.ops.quant_matmul import (
+        matmul_q4_col_split,
+        matmul_q4_pallas,
+        q4_col_split_parts,
+        q4_kernel_supported,
+    )
+
+    hbm_gbps = 819.0
+    rng = np.random.default_rng(0)
+    shapes = SHAPES_13B if args.model == "13b" else SHAPES_7B
+    if args.interpret:
+        jax.config.update("jax_platforms", "cpu")
+        shapes = [("tiny", 256, 1024)]
+        args.iters = min(args.iters, 2)
+
+    for name, k_dim, n in shapes:
+        w = jnp.asarray(rng.normal(size=(k_dim, n)) * 0.02, jnp.bfloat16)
+        leaf = quantize_weight(w, axis=0, bits=4)
+        p, s = leaf["q4"], leaf["s"]
+        packed_bytes = k_dim * (n // 2)
+        floor_us = packed_bytes / hbm_gbps / 1e3  # single-read, us
+
+        def xla_split(x, p, s):
+            half = p.shape[-1]
+            lo = (jnp.left_shift(p, 4) >> 4).astype(x.dtype) * s[
+                ..., :half
+            ].astype(x.dtype)
+            hi = (p >> 4).astype(x.dtype) * s[..., half:].astype(x.dtype)
+            return jnp.concatenate(
+                [jnp.einsum("ri,io->ro", x, lo),
+                 jnp.einsum("ri,io->ro", x, hi)], axis=-1,
+            )
+
+        for rows in args.rows:
+            variants = {}
+            if not args.skip_xla:
+                variants["xla"] = xla_split
+            interp = args.interpret
+            if q4_kernel_supported(p.shape, rows):
+                for mode in ("i32", "i8"):
+                    variants[mode] = functools.partial(
+                        lambda x, p, s, m: matmul_q4_pallas(
+                            x, p, s, unpack=m, interpret=interp
+                        ), m=mode,
+                    )
+            if q4_col_split_parts(p.shape, rows):
+                for mode in ("i32", "i8"):
+                    variants["split_" + mode] = functools.partial(
+                        lambda x, p, s, m: matmul_q4_col_split(
+                            x, p, s, unpack=m, interpret=interp
+                        ), m=mode,
+                    )
+            x = jnp.asarray(
+                rng.normal(size=(rows, k_dim)), jnp.bfloat16
+            )
+            rec = {
+                "shape": name, "K": k_dim, "N": n, "rows": rows,
+                "iters": args.iters, "single_read_floor_us": round(
+                    floor_us, 1
+                ),
+            }
+            for vname, fn in variants.items():
+                run = _chain(fn, args.iters)
+                float(run(x, p, s))  # compile + REAL warmup fetch (lore)
+                t0 = time.perf_counter()
+                float(run(x, p, s))
+                dt = time.perf_counter() - t0
+                us = dt / args.iters * 1e6
+                rec[vname + "_us"] = round(us, 1)
+                rec[vname + "_roofline"] = round(floor_us / us, 3)
+            print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
