@@ -110,6 +110,13 @@ class LlamaConfig:
     rope_scaling: Optional[RopeScalingConfig] = None
     attention_bias: bool = False
     tie_word_embeddings: bool = False
+    # Mistral-family sliding-window attention: token q attends to keys with
+    # q_pos - k_pos in [0, window). None = full causal (LLaMA). The dense
+    # LLaVA-Mistral baseline (reference llava_mistral.py) rides the same
+    # decoder stack with this set; the sparse/dynamic path is LLaMA-only,
+    # exactly as in the reference (dynamic_modeling_llama.py has no
+    # Mistral twin) — enforced in models.dynamic.
+    sliding_window: Optional[int] = None
 
     @property
     def head_dim(self) -> int:
@@ -131,6 +138,17 @@ class LlamaConfig:
             num_hidden_layers=40,
             num_attention_heads=40,
             num_key_value_heads=40,
+        )
+
+    @classmethod
+    def mistral_7b(cls) -> "LlamaConfig":
+        """Mistral-7B-v0.1 (the reference's llava_mistral.py base): LLaMA
+        architecture + GQA (8 kv heads) + 4096-token sliding window."""
+        return cls(
+            intermediate_size=14336,
+            num_key_value_heads=8,
+            max_position_embeddings=32768,
+            sliding_window=4096,
         )
 
     @classmethod
@@ -171,6 +189,7 @@ class LlamaConfig:
             rope_scaling=rope_scaling,
             attention_bias=d.get("attention_bias", False),
             tie_word_embeddings=d.get("tie_word_embeddings", False),
+            sliding_window=d.get("sliding_window"),
         )
 
 
@@ -247,6 +266,22 @@ class LlavaConfig:
     mm_use_im_start_end: bool = False
     mm_use_im_patch_token: bool = False
     model_max_length: int = 2048
+
+    def __post_init__(self):
+        if self.text.sliding_window is not None and (
+            self.sparse.use_vision_predictor
+            or self.sparse.use_text_predictor
+            or self.sparse.use_output_text_predictor
+            or self.sparse.use_instruct_predictor
+        ):
+            # Sparse compaction breaks the slot==position invariant the
+            # decode-time window mask relies on; the reference likewise has
+            # no dynamic Mistral (llava_mistral.py is a dense baseline,
+            # dynamic_modeling_llama.py is LLaMA-only).
+            raise ValueError(
+                "sliding_window (Mistral) supports the dense stack only: "
+                "disable the sparse predictors or unset text.sliding_window"
+            )
 
     @property
     def num_image_tokens(self) -> int:

@@ -184,6 +184,7 @@ def export_hf_checkpoint(params: dict, cfg: LlavaConfig, out_dir: str,
         "max_position_embeddings": cfg.text.max_position_embeddings,
         "rms_norm_eps": cfg.text.rms_norm_eps,
         "rope_theta": cfg.text.rope_theta,
+        "sliding_window": cfg.text.sliding_window,
         "mm_projector_type": cfg.mm_projector_type,
         "mm_vision_tower": "openai/clip-vit-large-patch14-336",
         "mm_vision_select_layer": cfg.mm_vision_select_layer,

@@ -33,6 +33,7 @@ from ..ops.attention import (
     decode_attend_appended,
     make_attention_mask,
     self_attend,
+    sliding_window_mask,
 )
 from ..ops.kv_cache import KVCache, write_token_layers
 from ..ops.norm import rms_norm
@@ -279,6 +280,16 @@ def layer_nocache(
     b, s, d = x.shape
     h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
     q, k, v = _qkv(lp, cfg, h, positions, fused=training)
+    win = cfg.sliding_window
+    if win is not None and s > win:
+        # Mistral sliding window, by POSITION (exact even on compacted
+        # sequences). s <= win cannot bind: supported (dense) callers have
+        # sequential positions, so the span equals s.
+        wmask = sliding_window_mask(positions, positions, win)
+        if mask is None:
+            mask = make_attention_mask(s, s, causal=True, batch=b) & wmask
+        else:
+            mask = mask & wmask
     if mask is not None:
         if policy is not None:
             o = attend_with_policy(q, k, v, policy, mask=mask)
@@ -373,6 +384,12 @@ def run_layers_prefill(
     layers = params["layers"]
     b, s, d = x.shape
     layer_ids = jnp.arange(hi - lo, dtype=jnp.int32)
+    win = cfg.sliding_window
+    win_mask = None
+    if win is not None and s > win:  # see layer_nocache: cannot bind at s<=win
+        win_mask = make_attention_mask(
+            s, s, causal=True, batch=b
+        ) & sliding_window_mask(positions, positions, win)
 
     def body(carry, li):
         x, ck, cv = carry
@@ -385,7 +402,10 @@ def run_layers_prefill(
         cv = jax.lax.dynamic_update_slice(
             cv, v[None].astype(cv.dtype), (li, 0, 0, 0, 0)
         )
-        o = self_attend(q, k, v)
+        if win_mask is not None:
+            o = attend(q, k, v, mask=win_mask)
+        else:
+            o = self_attend(q, k, v)
         x = x + lora_proj(lp, "o", o.reshape(b, s, -1))
         hh = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
         x = x + _mlp(lp, hh)
@@ -442,7 +462,8 @@ def run_layers_decode(
         h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
         q, k, v = _qkv(lp, cfg, h, positions)
         o = decode_attend_appended(
-            q, ck_l.astype(q.dtype), cv_l.astype(q.dtype), k, v, length_l
+            q, ck_l.astype(q.dtype), cv_l.astype(q.dtype), k, v, length_l,
+            window=cfg.sliding_window, q_pos=positions[:, 0],
         )
         x = x + lora_proj(lp, "o", o.reshape(b, 1, -1))
         hh = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
@@ -516,6 +537,16 @@ def run_layers_extend(
         ],
         axis=-1,
     )
+    if cfg.sliding_window is not None:
+        # Mistral window: cache keys by slot (== position, dense cache
+        # invariant), chunk keys by their original positions
+        mask = mask & jnp.concatenate(
+            [
+                sliding_window_mask(positions, cache_cols, cfg.sliding_window),
+                sliding_window_mask(positions, positions, cfg.sliding_window),
+            ],
+            axis=-1,
+        )
     layer_ids = jnp.arange(hi - lo, dtype=jnp.int32)
 
     def body(carry, li):

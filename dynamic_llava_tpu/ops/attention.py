@@ -162,6 +162,20 @@ def make_attention_mask(
     return mask
 
 
+def sliding_window_mask(
+    q_pos: jax.Array,  # [B, Sq] int32 query positions
+    k_pos: jax.Array,  # [B, Sk] or [Sk] int32 key positions
+    window: int,
+) -> jax.Array:
+    """[B, 1, Sq, Sk] True where q_pos - k_pos < window (Mistral semantics:
+    a token attends to itself and the previous window-1 POSITIONS; combine
+    with a causal mask for the lower bound). Position-based, so it stays
+    exact on compacted sequences where slot != position."""
+    if k_pos.ndim == 1:
+        k_pos = k_pos[None]
+    return (q_pos[:, :, None] - k_pos[:, None, :] < window)[:, None]
+
+
 def attend(
     q: jax.Array,  # [B, Sq, H, d]
     k: jax.Array,  # [B, Sk, Hkv, d]
@@ -231,6 +245,8 @@ def decode_attend(
     kv_length: jax.Array,  # [B] int32 persisted length (excluding current token)
     *,
     scale: Optional[float] = None,
+    window: Optional[int] = None,  # sliding window; needs q_pos (dense cache)
+    q_pos: Optional[jax.Array] = None,  # [B] current token's position
 ) -> jax.Array:
     """Single-token decode against the static cache.
 
@@ -261,6 +277,11 @@ def decode_attend(
         kv_length=kv_length + 1,
         batch=q.shape[0],
     )
+    if window is not None:
+        # dense cache invariant: slot index == token position (Mistral is
+        # dense-only here, as in the reference)
+        cols = jnp.arange(k_cache.shape[1], dtype=jnp.int32)
+        mask = mask & sliding_window_mask(q_pos[:, None], cols, window)
     return attend(q, k_cache, v_cache, mask=mask, scale=scale)
 
 
@@ -273,6 +294,8 @@ def decode_attend_appended(
     kv_length: jax.Array,  # [B] int32 persisted length
     *,
     scale: Optional[float] = None,
+    window: Optional[int] = None,  # sliding window; needs q_pos (dense cache)
+    q_pos: Optional[jax.Array] = None,  # [B] current token's position
 ) -> jax.Array:
     """Decode attention with the current token APPENDED virtually.
 
@@ -295,6 +318,10 @@ def decode_attend_appended(
     logits_cache = _logits(q, k_cache, scale)  # [B, H, 1, max_len]
     cols = jnp.arange(max_len, dtype=jnp.int32)
     mask = cols[None, None, None, :] < kv_length[:, None, None, None]
+    if window is not None:
+        # dense cache invariant: slot index == token position (the sparse
+        # tiers never carry a sliding-window config — guarded in dynamic)
+        mask = mask & sliding_window_mask(q_pos[:, None], cols, window)
     logits_cache = jnp.where(mask, logits_cache, jnp.float32(-1e30))
     logit_cur = _logits(q, k_cur, scale)  # [B, H, 1, 1] — always visible
     w = jax.nn.softmax(
