@@ -182,15 +182,23 @@ def attend(
     v: jax.Array,  # [B, Sk, Hkv, d]
     *,
     mask: Optional[jax.Array] = None,  # [B, 1, Sq, Sk] bool
+    bias: Optional[jax.Array] = None,  # [B|1, H, Sq, Sk] additive (ALiBi)
     scale: Optional[float] = None,
 ) -> jax.Array:
-    """Plain masked attention, fp32 softmax. Returns [B, Sq, H, d]."""
+    """Plain masked attention, fp32 softmax. Returns [B, Sq, H, d].
+
+    ``bias`` is added to the scaled logits before masking — the ALiBi path
+    for the MPT family (rope-free position encoding; HF MptAttention adds
+    position_bias the same way). Bias-carrying calls always ride this XLA
+    oracle: the flash kernels are rope-family only."""
     n_rep = q.shape[2] // k.shape[2]
     k = repeat_kv_heads(k, n_rep)
     v = repeat_kv_heads(v, n_rep)
     if scale is None:
         scale = q.shape[-1] ** -0.5
     logits = _logits(q, k, scale)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.float32(-1e30))
     w = jax.nn.softmax(logits, axis=-1)
