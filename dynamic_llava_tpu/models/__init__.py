@@ -8,4 +8,9 @@ MODEL_REGISTRY = {
     "llava_llama": "dense LLaVA-1.5 (predictors off)",
     "dynamic_llava_llama": "Dynamic-LLaVA (sparsification per config.sparse_config)",
     "llama": "text-only LLaMA/Vicuna decoder",
+    "llava_mistral": "dense LLaVA on Mistral (GQA + sliding window; "
+    "LlamaConfig.sliding_window — see tests/test_mistral_parity.py)",
+    "mistral": "text-only Mistral decoder (same stack as llama)",
+    "llava_mpt": "dense LLaVA on MPT (ALiBi decoder, models/mpt.py)",
+    "mpt": "text-only MPT decoder (models/mpt.py)",
 }

@@ -33,6 +33,17 @@ class LlavaRuntime(NamedTuple):
     params: dict
     cfg: LlavaConfig
 
+
+class MptRuntime(NamedTuple):
+    """Loaded MPT-family bundle (dense baseline; the reference routes
+    'mpt' model names to LlavaMptForCausalLM, builder.py:135-211).
+    Deliberately a distinct type: MPT params/config do not fit the LLaMA
+    runners, so misuse fails loudly at the type level."""
+
+    params: dict  # {"llm": mpt pytree, ["vision_tower", "mm_projector"]}
+    cfg: object  # MptConfig
+    vision: Optional[object] = None  # ClipVisionConfig when a tower loaded
+
     @property
     def config(self) -> LlavaConfig:
         return self.cfg
@@ -159,6 +170,61 @@ def params_from_state_dict(sd: dict, cfg: LlavaConfig, dtype=np.float32) -> dict
     return params
 
 
+def _load_mpt_model(model_path, model_base, hf_cfg, dtype=jnp.bfloat16):
+    """MPT-family route (reference builder.py:135-211 loads LlavaMpt via
+    model_name matching). Text weights convert through models.mpt; a
+    LLaVA-MPT checkpoint's tower/projector (stored under the transformer
+    module by the LlavaMetaModel mixin) load through the shared CLIP /
+    projector converters when present."""
+    from ..config import ClipVisionConfig, MptConfig
+    from . import mpt as mpt_mod
+
+    cfg = MptConfig.from_hf_dict(hf_cfg)
+    sd = {}
+    if model_base is not None:
+        sd.update(convert.load_state_dict_from_dir(model_base))
+    sd.update(convert.load_state_dict_from_dir(model_path))
+
+    params = {"llm": mpt_mod.mpt_params_from_state_dict(sd, cfg)}
+    vision = None
+    for pref in (
+        "transformer.vision_tower.vision_tower.vision_model.",
+        "model.vision_tower.vision_tower.vision_model.",
+    ):
+        if f"{pref}embeddings.class_embedding" in sd:
+            vision = infer_vision_config_from_sd(sd, ClipVisionConfig())
+            params["vision_tower"] = convert.clip_params_from_state_dict(
+                sd, vision, prefix=pref
+            )
+            break
+    proj_type = hf_cfg.get("mm_projector_type", "linear")
+    for pref in ("transformer.mm_projector.", "model.mm_projector."):
+        if any(k.startswith(pref) for k in sd):
+            params["mm_projector"] = convert.projector_params_from_state_dict(
+                sd, proj_type, prefix=pref
+            )
+            break
+    params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+
+    tokenizer = None
+    try:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(model_path, use_fast=False)
+    except Exception:
+        pass
+    image_processor = ClipImagePreprocessor(
+        size=(vision or ClipVisionConfig()).image_size
+    )
+    context_len = hf_cfg.get("max_seq_len", 2048)
+    return (
+        tokenizer,
+        MptRuntime(params=params, cfg=cfg, vision=vision),
+        image_processor,
+        context_len,
+    )
+
+
 def load_pretrained_model(
     model_path: str,
     model_base: Optional[str] = None,
@@ -176,6 +242,12 @@ def load_pretrained_model(
     """
     with open(os.path.join(model_path, "config.json")) as f:
         hf_cfg = json.load(f)
+
+    model_type = (hf_cfg.get("model_type") or "").lower()
+    if "mpt" in model_type or "mpt" in (model_name or "").lower():
+        return _load_mpt_model(
+            model_path, model_base, hf_cfg, dtype=dtype
+        )
     cfg = llava_config_from_hf_dict(hf_cfg)
 
     sd = {}

@@ -189,3 +189,34 @@ def test_mpt_multimodal_forward():
     ))
     last = int(plan.valid_len[0]) - 1
     assert not np.allclose(logits[0, last], logits2[0, last], atol=1e-4)
+
+
+def test_load_pretrained_model_routes_mpt(tmp_path):
+    """An HF MPT checkpoint dir (config.json model_type=mpt +
+    pytorch_model.bin) must route to the MptRuntime and produce the same
+    logits as the direct converter."""
+    from dynamic_llava_tpu.models.builder import MptRuntime, load_pretrained_model
+
+    model, cfg = _make_hf_mpt()
+    d = tmp_path / "mpt_ckpt"
+    d.mkdir()
+    (d / "config.json").write_text(
+        __import__("json").dumps(model.config.to_dict())
+    )
+    torch.save(model.state_dict(), str(d / "pytorch_model.bin"))
+
+    tok, runtime, imgproc, ctx = load_pretrained_model(
+        str(d), dtype=jnp.float32
+    )
+    assert isinstance(runtime, MptRuntime)
+    assert runtime.cfg.d_model == cfg.d_model
+    assert ctx == cfg.max_seq_len
+
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, cfg.vocab_size, size=(1, 13))
+    with torch.no_grad():
+        ref = model(torch.tensor(ids)).logits.numpy()
+    ours = np.asarray(
+        mpt.forward_dense(runtime.params["llm"], runtime.cfg, jnp.asarray(ids))
+    )
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=2e-3)
