@@ -147,3 +147,106 @@ def test_data_loader_and_trainer_e2e(tmp_path):
     trainer2 = Trainer(cfg, params, tc, use_mesh=False)
     assert trainer2.maybe_resume()
     assert trainer2.step == 2
+
+
+class MptWordTokenizer:
+    """MPT-faithful word tokenizer: NO bos (GPT-NeoX style) and the chat
+    specials are atomic added tokens — the tokenization regime the mpt
+    dialect's count arithmetic assumes. (WordTokenizer models a LLaMA
+    tokenizer: bos on every call, whitespace-only splitting — wrong for
+    the glued <|im_end|><|im_start|> boundaries of the MPT template.)"""
+
+    bos_token_id = None
+    pad_token_id = None
+    legacy = False
+    model_max_length = 4096
+
+    def __init__(self):
+        self.vocab = {"<unk>": 0}
+
+    def _enc(self, text):
+        for sp in ("<|im_end|>", "<|im_start|>", "<image>"):
+            text = text.replace(sp, f" {sp} ")
+        out = []
+        for w in text.split():
+            self.vocab.setdefault(w, len(self.vocab))
+            out.append(self.vocab[w])
+        return out
+
+    def __call__(self, text, **kw):
+        class R:
+            pass
+
+        r = R()
+        if isinstance(text, list):
+            r.input_ids = [self._enc(t) for t in text]
+        else:
+            r.input_ids = self._enc(text)
+        return r
+
+    def decode(self, ids):
+        rev = {v: k for k, v in self.vocab.items()}
+        return " ".join(rev.get(int(i), "?") for i in ids)
+
+    def convert_tokens_to_ids(self, tok):
+        self.vocab.setdefault(tok, len(self.vocab))
+        return self.vocab[tok]
+
+
+def test_preprocess_mpt_masks_instructions_supervises_answers():
+    """MPT dialect (im_start/im_end template): EXACTLY the assistant
+    answers + their closing <|im_end|> supervised; system prompt and user
+    turns masked (reference train_sparse.py:587-682 — whose round_len
+    omits each round's trailing sep and relies on the wipeout warning;
+    this repo counts the sep explicitly so spans are exact)."""
+    from dynamic_llava_tpu.train.data import preprocess_mpt
+
+    tok = MptWordTokenizer()
+    out = preprocess_mpt(_sources(), tok, has_image=True)
+    ids, labels = out["input_ids"][0], out["labels"][0]
+    assert (ids == IMAGE_TOKEN_INDEX).sum() == 1
+    sup = tok.decode(labels[labels != IGNORE_INDEX])
+    assert sup == (
+        "The picture shows a red cat . <|im_end|> It is red . <|im_end|>"
+    )
+    mask = labels != IGNORE_INDEX
+    np.testing.assert_array_equal(labels[mask], ids[mask])
+
+
+def test_preprocess_llama_2_masks_instructions_supervises_answers():
+    from dynamic_llava_tpu.train.data import preprocess_llama_2
+
+    tok = WordTokenizer()
+    out = preprocess_llama_2(_sources(), tok, has_image=True)
+    ids, labels = out["input_ids"][0], out["labels"][0]
+    assert (ids == IMAGE_TOKEN_INDEX).sum() == 1
+    assert (labels != IGNORE_INDEX).any()
+    sup = tok.decode(labels[labels != IGNORE_INDEX])
+    assert "cat" in sup and "red" in sup
+    assert "What" not in sup
+    mask = labels != IGNORE_INDEX
+    np.testing.assert_array_equal(labels[mask], ids[mask])
+
+
+def test_preprocess_plain_supervises_caption_only():
+    from dynamic_llava_tpu.train.data import preprocess_plain
+
+    old = conversation_lib.default_conversation
+    conversation_lib.default_conversation = conversation_lib.conv_templates[
+        "plain"
+    ]
+    try:
+        tok = WordTokenizer()
+        src = [[
+            {"from": "human", "value": "<image>"},
+            {"from": "gpt", "value": "a red cat on a mat"},
+        ]]
+        out = preprocess_plain(src, tok)
+        ids, labels = out["input_ids"][0], out["labels"][0]
+        assert (ids == IMAGE_TOKEN_INDEX).sum() == 1
+        # the image span is masked; the caption is fully supervised
+        assert labels[0] == IGNORE_INDEX
+        sup = tok.decode(labels[labels != IGNORE_INDEX])
+        assert "cat" in sup and "mat" in sup
+    finally:
+        conversation_lib.default_conversation = old
