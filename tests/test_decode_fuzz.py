@@ -105,3 +105,30 @@ def test_chunked_decode_eos_freeze_random_config():
         outs[decode_chunk] = gen.generate(ids_list, imgs)
     assert outs[1] == outs[4]
     assert outs[1][0][-1] == eos and len(outs[1][0]) <= 12
+
+
+def test_chunked_decode_matches_per_token_sliding_window():
+    """Mistral regime: dense (predictors off), window BINDING during decode,
+    multimodal batch — chunked must equal per-token."""
+    rng = np.random.default_rng(42)
+    sparse = SparseConfig(
+        d_model=32, nhead=2, dim_feedforward=64, num_layers=1,
+        use_vision_predictor=False, use_text_predictor=False,
+        use_output_text_predictor=False, use_instruct_predictor=False,
+    )
+    base = LlavaConfig.tiny(sparse=sparse)
+    text = dataclasses.replace(
+        base.text, num_key_value_heads=2, sliding_window=8
+    )
+    cfg = dataclasses.replace(base, text=text)
+    params = dynamic.init_llava_params(jax.random.key(11), cfg)
+    ids_list, imgs = _random_batch(rng, cfg, True)
+    eos = cfg.text.vocab_size + 7
+
+    outs = {}
+    for decode_chunk in (1, 5):
+        gen = Generator(params, cfg, GenerationConfig(
+            max_new_tokens=14, decode_chunk=decode_chunk, eos_token_id=eos,
+        ))
+        outs[decode_chunk] = gen.generate(ids_list, imgs)
+    assert outs[1] == outs[5]
