@@ -83,11 +83,19 @@ TEXT_LEN_EXEC = 48
 BATCH_EXEC = 2
 
 
+# --width 13b swaps the decoder to LLaMA-13B dimensions (hidden 5120 /
+# heads 40 / ffn 13824 / 40 layers) — the stated production target for
+# 13B serving is the v5e-8 mesh (docs/BENCHMARKS.md "13B on one chip").
+WIDTH = "13b" if "--width" in sys.argv and "13b" in sys.argv else "7b"
+FULL_LAYERS = 40 if WIDTH == "13b" else 32
+
+
 def build_cfg(layers: int) -> LlavaConfig:
+    base = (
+        LlamaConfig.llama_13b() if WIDTH == "13b" else LlamaConfig.llama_7b()
+    )
     return LlavaConfig(
-        text=dataclasses.replace(
-            LlamaConfig.llama_7b(), num_hidden_layers=layers
-        ),
+        text=dataclasses.replace(base, num_hidden_layers=layers),
         vision=ClipVisionConfig(),  # CLIP-ViT-L/14-336 defaults
         sparse=SparseConfig(
             use_vision_predictor=True, use_output_text_predictor=True,
@@ -141,7 +149,7 @@ def phase_a_full_7b_compile(mesh, report):
     943 s for the 7B tree on this 1-core host)."""
     from jax.sharding import NamedSharding
 
-    cfg7 = build_cfg(32)
+    cfg7 = build_cfg(FULL_LAYERS)
     t0 = time.time()
     shapes7 = jax.eval_shape(
         lambda k: dynamic.init_llava_params(k, cfg7, jnp.bfloat16),
@@ -280,7 +288,7 @@ def main():
         )
 
     t0 = time.time()
-    cfg7 = build_cfg(32)
+    cfg7 = build_cfg(FULL_LAYERS)
     shapes7 = jax.eval_shape(
         lambda k: dynamic.init_llava_params(k, cfg7, jnp.bfloat16),
         jax.random.key(0))
