@@ -379,12 +379,19 @@ class ChatSession:
         self.gen = generator
         self.budget = max_new_tokens_total
         self.state: Optional[dynamic.GenState] = None
+        # replay log for the text-fallback safety net (see ask): each entry
+        # is ("prefill", ids, pixels), ("chunk", ids) or ("out", fed_tokens)
+        self._hist: List[tuple] = []
         self._continue = jax.jit(
             dynamic.prefill_continue, static_argnums=(1,)
         )
 
     def _start_round(self, input_ids, pixel_values):
         if self.state is None:
+            self._hist.append(
+                ("prefill", np.asarray(input_ids, np.int64).copy(),
+                 None if pixel_values is None else np.asarray(pixel_values))
+            )
             plan = plan_batch(
                 [input_ids],
                 self.gen.cfg.num_image_tokens if pixel_values is not None else 0,
@@ -405,9 +412,42 @@ class ChatSession:
                     f"chunk of {len(ids)} tokens exceeds remaining cache "
                     f"capacity {pre_room}; raise max_new_tokens_total"
                 )
+            self._hist.append(("chunk", ids.copy()))
             self.state = self._continue(
                 self.gen.params, self.gen.cfg, jnp.asarray(ids[None]), self.state
             )
+
+    def _replay_state(self) -> dynamic.GenState:
+        """Rebuild the live state exactly from the replay log: re-prefill
+        round 1, re-run each continuation chunk, and feed every recorded
+        generated token through the per-token decode (reproducing each
+        step's keep/drop decision — decisions depend on hidden states, not
+        sampling, so replay is bit-exact). Only used by the text-fallback
+        safety net in ``ask``, i.e. when a stop string matched through an
+        alternate tokenization the in-graph matcher cannot see."""
+        state: Optional[dynamic.GenState] = None
+        for entry in self._hist:
+            kind = entry[0]
+            if kind == "prefill":
+                _, ids, pixels = entry
+                plan = plan_batch(
+                    [ids],
+                    self.gen.cfg.num_image_tokens if pixels is not None else 0,
+                    max_length=self.gen.cfg.model_max_length,
+                )
+                state, _ = self.gen.prefill_from_plan(plan, pixels, self.budget)
+            elif kind == "chunk":
+                state = self._continue(
+                    self.gen.params, self.gen.cfg,
+                    jnp.asarray(entry[1][None]), state,
+                )
+            else:  # "out": tokens that were fed through decode
+                for tok in entry[1]:
+                    state = self.gen._decode(
+                        self.gen.params, self.gen.cfg,
+                        jnp.asarray([int(tok)]), state,
+                    )
+        return state
 
     def ask(
         self,
@@ -419,14 +459,25 @@ class ChatSession:
         on_chunk=None,  # callback(new_token_ids) for streaming
     ) -> List[int]:
         gc = self.gen.gen_cfg
-        max_new = max_new_tokens or gc.max_new_tokens
+        max_new = gc.max_new_tokens if max_new_tokens is None else max_new_tokens
         self._start_round(input_ids, pixel_values)
+        if max_new <= 0:
+            # the round's chunk is processed (state advanced) but nothing is
+            # sampled — without this guard the in-graph loop's post-step
+            # limit check would emit and persist one token
+            self._hist.append(("out", []))
+            return []
 
         stop_seqs = [(gc.eos_token_id,)]
         crit = stopping_criteria
+        text_crit = None
         if crit is not None and hasattr(crit, "keyword_ids"):
             # KeywordsStoppingCriteria: its token sequences stop in-graph
             stop_seqs += [tuple(int(t) for t in kid) for kid in crit.keyword_ids]
+            # ... but the criteria ALSO has a decoded-text fallback for stop
+            # strings that tokenize differently in context (mm_utils.py:286);
+            # keep it as a per-chunk host-side safety net below
+            text_crit = crit if hasattr(crit, "tokenizer") else None
             crit = None
         if stop_sequences:
             stop_seqs += [tuple(int(t) for t in s) for s in stop_sequences]
@@ -445,6 +496,7 @@ class ChatSession:
         rng = jax.random.key(gc.seed)
 
         out: List[int] = []
+        fired_at = None  # earliest text-fallback stop index (token count)
         rng, krng = jax.random.split(rng)
         cur = fn(params, self.state, krng, active, hist, n_emit, limit)
         while True:
@@ -461,10 +513,33 @@ class ChatSession:
             out.extend(fresh)
             if on_chunk is not None and fresh:
                 on_chunk(fresh)
-            if not bool(np.asarray(active_c)[0]):
+            if text_crit is not None and fresh and fired_at is None:
+                for j in range(len(out) - len(fresh) + 1, len(out) + 1):
+                    if text_crit(out[:j]):
+                        fired_at = j
+                        break
+            inactive = not bool(np.asarray(active_c)[0])
+            if fired_at is not None and not (inactive and fired_at == len(out)):
+                # the decoded-text fallback caught a stop the in-graph token
+                # matcher missed (alternate tokenization of the stop string):
+                # trim the visible answer at the stop and rebuild the live
+                # state exactly — tokens past the stop were already persisted
+                # by the in-graph loop, and a multi-round cache must match the
+                # per-token protocol. Rare (the token matcher covers the
+                # criteria's own tokenizations), so replay cost is acceptable.
+                out = out[:fired_at]
+                self._hist.append(("out", list(out)))
+                self.state = self._replay_state()
+                return out
+            if inactive:
+                # in-graph stop (EOS/keyword/limit); if the text fallback
+                # fired it agreed with the matcher (fired_at == len(out)), so
+                # the frozen speculative chunk's state is exactly aligned
                 self.state = nxt[0]
                 break
             cur = nxt
+        fed = list(out)  # every emitted token was fed through decode
+        self._hist.append(("out", fed))
         # EOS is processed into the cache but excluded from the visible
         # answer (keyword-stop tokens stay), matching the per-token protocol
         if out and out[-1] == gc.eos_token_id:
@@ -477,6 +552,7 @@ class ChatSession:
         KeywordsStoppingCriteria / stop_sequences, which run in-graph)."""
         gc = self.gen.gen_cfg
         out: List[int] = []
+        fed: List[int] = []
         for _ in range(max_new):
             tok = int(np.argmax(np.asarray(self.state.last_logits[0])))
             # every emitted token is fed through decode — including the one
@@ -485,11 +561,13 @@ class ChatSession:
             self.state = self.gen._decode(
                 self.gen.params, self.gen.cfg, jnp.asarray([tok]), self.state
             )
+            fed.append(tok)
             if tok == gc.eos_token_id:
                 break
             out.append(tok)
             if stopping_criteria is not None and stopping_criteria(out):
                 break
+        self._hist.append(("out", fed))
         return out
 
     def cache_lengths(self) -> np.ndarray:

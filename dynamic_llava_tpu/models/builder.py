@@ -33,6 +33,10 @@ class LlavaRuntime(NamedTuple):
     params: dict
     cfg: LlavaConfig
 
+    @property
+    def config(self) -> LlavaConfig:
+        return self.cfg
+
 
 class MptRuntime(NamedTuple):
     """Loaded MPT-family bundle (dense baseline; the reference routes
@@ -45,7 +49,7 @@ class MptRuntime(NamedTuple):
     vision: Optional[object] = None  # ClipVisionConfig when a tower loaded
 
     @property
-    def config(self) -> LlavaConfig:
+    def config(self):  # MptConfig
         return self.cfg
 
 
@@ -88,6 +92,9 @@ def infer_vision_config_from_sd(sd: dict, base: ClipVisionConfig) -> ClipVisionC
     non-standard towers; the reference trusts the hub name instead)."""
     prefixes = [
         "model.vision_tower.vision_tower.vision_model.",
+        # MPT checkpoints hang the tower off "transformer." (HF MPT's inner
+        # module name), not "model."
+        "transformer.vision_tower.vision_tower.vision_model.",
         "vision_tower.vision_tower.vision_model.",
         "vision_model.",
     ]

@@ -137,20 +137,38 @@ class Predictor(BasePredictor):
         session = ChatSession(gen, max_new_tokens_total=max_tokens + 8)
         stopping = KeywordsStoppingCriteria([stop_str], self.tokenizer, 0)
 
+        # ask() runs on a worker thread feeding a queue, so text is yielded
+        # WHILE the model generates (the reference streams the same way via
+        # TextIteratorStreamer on a thread, /root/reference/predict.py:158);
+        # a synchronous on_chunk replay here would make time-to-first-byte
+        # equal the full generation time.
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue()
+        result: dict = {}
+
+        def run():
+            try:
+                result["out"] = session.ask(
+                    input_ids, pixels, stopping_criteria=stopping,
+                    on_chunk=lambda fresh: q.put(list(fresh)),
+                )
+            except BaseException as e:  # surfaced on the consumer side
+                result["err"] = e
+            finally:
+                q.put(None)
+
+        threading.Thread(target=run, daemon=True).start()
+
+        # per decode chunk: re-decode the accumulated ids and yield the
+        # delta (tokenizers do not detokenize incrementally in general)
         emitted = ""
-        chunks = []
-
-        def on_chunk(fresh):
-            chunks.append(list(fresh))
-
-        out_ids = session.ask(
-            input_ids, pixels, stopping_criteria=stopping,
-            on_chunk=on_chunk,
-        )
-        # stream per decode chunk: re-decode the accumulated ids and yield
-        # the delta (tokenizers do not detokenize incrementally in general)
         acc = []
-        for ch in chunks:
+        while True:
+            ch = q.get()
+            if ch is None:
+                break
             acc.extend(t for t in ch if t != self.tokenizer.eos_token_id)
             text = self.tokenizer.decode(acc, skip_special_tokens=True)
             if text.endswith(stop_str):
@@ -158,8 +176,12 @@ class Predictor(BasePredictor):
             if len(text) > len(emitted):
                 yield text[len(emitted):]
                 emitted = text
+        if "err" in result:
+            raise result["err"]
+        # authoritative final text: ask() may have trimmed the answer at a
+        # stop the streamed chunks overshot (streamed-then-truncated protocol)
         final = self.tokenizer.decode(
-            [t for t in out_ids if t != self.tokenizer.eos_token_id],
+            [t for t in result["out"] if t != self.tokenizer.eos_token_id],
             skip_special_tokens=True,
         )
         if final.endswith(stop_str):

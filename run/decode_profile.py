@@ -135,9 +135,14 @@ def time_variant(cfg, params, plan, imgs, args, variant):
         # so one patch covers every call site
         ctx = patched(llama, "embed_tokens", stub_embed)
     elif variant == "no_attn":
+        # llama.py imports decode_attend_appended directly (the decode scan
+        # no longer calls attn_mod.decode_attend); patch ITS binding with a
+        # signature-compatible stub or the variant silently measures the
+        # full step
         ctx = patched(
-            attn_mod, "decode_attend",
-            lambda q, k, v, length, scale=None: q,
+            llama, "decode_attend_appended",
+            lambda q, kc, vc, kn, vn, length, scale=None, window=None,
+            q_pos=None: q,
         )
     elif variant == "no_write":
         # llama.py imports the symbol directly; patch ITS binding

@@ -167,6 +167,110 @@ def test_chunked_sparse_decode_keep_gating():
     )
 
 
+def test_text_fallback_stop_rebuilds_exactly():
+    """A stop that fires only through the DECODED-TEXT fallback (its token
+    sequences never match — the alternate-tokenization case) must stop at
+    the per-token path's point AND leave the live multi-round state
+    identical (the safety-net replay rebuild)."""
+    cfg = _cfg()
+    params, gen = _setup(cfg, seed=6, max_new=12, chunk=5)
+    rng = np.random.default_rng(6)
+    prompt = rng.integers(3, cfg.text.vocab_size, size=(7,))
+    round2 = rng.integers(3, cfg.text.vocab_size, size=(4,))
+
+    class TextOnlyKeywords:
+        # advertised token sequence never matches any sampled token, so the
+        # in-graph matcher cannot fire; `tokenizer` marks the text fallback
+        keyword_ids = [[10**6]]
+        tokenizer = object()
+
+        def __call__(self, out):
+            return len(out) >= 6
+
+    # ground truth: per-token path with the same criteria, then a round 2
+    ref_session = ChatSession(gen, max_new_tokens_total=96)
+    ref_session._start_round(prompt, None)
+    ref1 = ref_session._ask_tokenwise(TextOnlyKeywords(), 12)
+    assert len(ref1) == 6  # fallback fired mid-generation
+    ref_session._start_round(round2, None)
+    ref2 = ref_session._ask_tokenwise(None, 12)
+
+    session = ChatSession(gen, max_new_tokens_total=96)
+    out1 = session.ask(prompt, stopping_criteria=TextOnlyKeywords())
+    assert out1 == ref1
+    # the rebuilt state must be live-usable: round 2 matches token-for-token
+    out2 = session.ask(round2)
+    assert out2 == ref2
+    for tier in ("pre", "post"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(session.state.cache, tier).length),
+            np.asarray(getattr(ref_session.state.cache, tier).length),
+        )
+    assert int(session.state.next_pos[0]) == int(ref_session.state.next_pos[0])
+    np.testing.assert_allclose(
+        np.asarray(session.state.last_logits),
+        np.asarray(ref_session.state.last_logits), atol=2e-4, rtol=2e-3,
+    )
+
+
+def test_text_fallback_agreeing_with_token_match_skips_rebuild():
+    """When the token matcher and the text fallback fire at the SAME point
+    (the common case), the fast aligned path is kept — output and state
+    still match the per-token protocol."""
+    cfg = _cfg()
+    params, gen = _setup(cfg, seed=3, max_new=12, chunk=5)
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(3, cfg.text.vocab_size, size=(7,))
+
+    probe = ChatSession(gen, max_new_tokens_total=96)
+    toks = probe.ask(prompt)
+    stop_seq = toks[4:6]
+
+    class Keywords:
+        keyword_ids = [stop_seq]
+        tokenizer = object()  # text fallback present and AGREES
+
+        def __call__(self, out):
+            return len(out) >= 2 and out[-2:] == stop_seq
+
+    ref_session = ChatSession(gen, max_new_tokens_total=96)
+    ref_session._start_round(prompt, None)
+    ref = ref_session._ask_tokenwise(Keywords(), 12)
+
+    session = ChatSession(gen, max_new_tokens_total=96)
+    out = session.ask(prompt, stopping_criteria=Keywords())
+    assert out == ref == toks[:6]
+    np.testing.assert_array_equal(
+        np.asarray(session.state.cache.pre.length),
+        np.asarray(ref_session.state.cache.pre.length),
+    )
+
+
+def test_ask_zero_max_new_tokens_is_noop():
+    """max_new_tokens=0 must emit nothing and persist nothing (predict.py
+    exposes max_tokens ge=0)."""
+    cfg = _cfg()
+    params, gen = _setup(cfg, seed=7, max_new=8, chunk=4)
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(3, cfg.text.vocab_size, size=(6,))
+    round2 = rng.integers(3, cfg.text.vocab_size, size=(3,))
+
+    ref_session = ChatSession(gen, max_new_tokens_total=96)
+    ref_session._start_round(prompt, None)
+    ref_state = ref_session.state
+
+    session = ChatSession(gen, max_new_tokens_total=96)
+    assert session.ask(prompt, max_new_tokens=0) == []
+    np.testing.assert_array_equal(
+        np.asarray(session.state.cache.pre.length),
+        np.asarray(ref_state.cache.pre.length),
+    )
+    assert int(session.state.next_pos[0]) == int(ref_state.next_pos[0])
+    # the session remains usable for a later round
+    out2 = session.ask(round2, max_new_tokens=3)
+    assert len(out2) == 3
+
+
 def test_chunked_respects_max_new_exactly():
     """max_new not a multiple of the chunk: the in-graph limit freezes the
     sample mid-chunk; emitted count and cache lengths are exact."""
