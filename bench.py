@@ -19,7 +19,12 @@ reference bench streams per-config records for
                    32, 512-token generations (KV-bandwidth-dominated).
   * ``7b``       — flagship B=1 bf16 latency (weight-bound by physics).
   * ``serving_fp8`` — the serving arm with fp8 KV storage (extra credit;
-                   dropped first when the budget runs short).
+                   dropped early when the budget runs short).
+  * ``7b_ladder`` / ``7b_ladder_likequant`` — the composed int4+fp8
+                   serving-config ladder top vs the dense-int8-best and
+                   like-quant dense baselines.
+  * ``serving_int8kv`` — the serving arm with scaled-int8 KV storage
+                   (fp8 bandwidth + per-vector scales; lowest priority).
 
 Output protocol: after every completed arm, an ``ARM_RESULT <json>``
 progress line AND an updated bare-JSON summary line are printed (flushed).
@@ -38,7 +43,8 @@ Env knobs:
   BENCH_MODEL    = 7b | 13b | 1b | small (single-config override)
   BENCH_BATCH / BENCH_TOKENS / BENCH_TEXT = ints
   BENCH_QUANT    = int8 | int4 (weight quantization)
-  BENCH_CACHE_DTYPE = bfloat16 | float8_e4m3fn (KV storage)
+  BENCH_CACHE_DTYPE = bfloat16 | float8_e4m3fn | int8 (KV storage; int8 =
+                      per-head-vector scaled, ops/kv_cache.py)
 """
 
 import dataclasses
@@ -143,6 +149,14 @@ ARMS = {
         "note": "composed ladder top vs the dense-int8-best baseline; "
                 "like-quant counterpart is the 7b_ladder_likequant arm",
     },
+    # Scaled-int8 KV (fp8 bandwidth + per-vector scales; quality-first
+    # sibling of serving_fp8). Lowest priority: dropped first when the
+    # budget runs short.
+    "serving_int8kv": {
+        "sparse": _side("1b", 32, cache_dtype="int8"),
+        "dense": _side("1b", 32, cache_dtype="int8"),
+        "metric": "serving_decode_tok_s_sparse_1b_proxy_b32_int8kv",
+    },
     # Same sparse side (cached) vs the LIKE-QUANT dense counterpart at its
     # own measured ceiling (int4+fp8 B=32 rejected at compile, 16.13 GB).
     "7b_ladder_likequant": {
@@ -156,7 +170,7 @@ ARMS = {
     },
 }
 ARM_ORDER = ("7b_best", "7b_batch", "serving", "7b", "serving_fp8",
-             "7b_ladder", "7b_ladder_likequant")
+             "7b_ladder", "7b_ladder_likequant", "serving_int8kv")
 
 # kept for back-compat with run/ scripts that import CONFIGS
 CONFIGS = {

@@ -24,7 +24,9 @@ def reorder_cache(cache: TieredCache, beam_idx: jax.Array) -> TieredCache:
 
     def reorder_tier(t: KVCache) -> KVCache:
         return KVCache(
-            k=t.k[:, beam_idx], v=t.v[:, beam_idx], length=t.length[:, beam_idx]
+            k=t.k[:, beam_idx], v=t.v[:, beam_idx], length=t.length[:, beam_idx],
+            k_scale=None if t.k_scale is None else t.k_scale[:, beam_idx],
+            v_scale=None if t.v_scale is None else t.v_scale[:, beam_idx],
         )
 
     return TieredCache(pre=reorder_tier(cache.pre), post=reorder_tier(cache.post))

@@ -28,6 +28,9 @@ class GenerationConfig(NamedTuple):
     temperature: float = 0.0
     top_p: float = 1.0
     eos_token_id: int = 2
+    # KV storage: "bfloat16" (exact), "float8_e4m3fn" (half the KV-read
+    # bandwidth, pure cast), or "int8" (same bandwidth as fp8 + 3 extra
+    # mantissa bits via per-head-vector dynamic scales — ops/kv_cache.py)
     cache_dtype: str = "bfloat16"
     # True: allocate the sparse KV tier at keep_rate * max_new and force-drop
     # beyond it (throughput/memory contract; generations that run to the full

@@ -35,7 +35,13 @@ from ..ops.attention import (
     self_attend,
     sliding_window_mask,
 )
-from ..ops.kv_cache import KVCache, write_token_layers
+from ..ops.kv_cache import (
+    KVCache,
+    dequantize_kv,
+    quantize_kv,
+    write_token_layers,
+    write_token_scales,
+)
 from ..ops.norm import rms_norm
 from ..ops.rope import apply_rope_for_config
 from ..train.lora import lora_proj
@@ -391,17 +397,27 @@ def run_layers_prefill(
             s, s, causal=True, batch=b
         ) & sliding_window_mask(positions, positions, win)
 
+    quantized = cache.quantized  # static (python) — shapes the scan carry
+
     def body(carry, li):
-        x, ck, cv = carry
+        x, ck, cv, sk, sv = carry
         lp = index_layer(layers, li + lo)
         h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
         q, k, v = _qkv(lp, cfg, h, positions)
-        ck = jax.lax.dynamic_update_slice(
-            ck, k[None].astype(ck.dtype), (li, 0, 0, 0, 0)
-        )
-        cv = jax.lax.dynamic_update_slice(
-            cv, v[None].astype(cv.dtype), (li, 0, 0, 0, 0)
-        )
+        if quantized:
+            qk, ksc = quantize_kv(k)
+            qv, vsc = quantize_kv(v)
+            ck = jax.lax.dynamic_update_slice(ck, qk[None], (li, 0, 0, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, qv[None], (li, 0, 0, 0, 0))
+            sk = jax.lax.dynamic_update_slice(sk, ksc[None], (li, 0, 0, 0))
+            sv = jax.lax.dynamic_update_slice(sv, vsc[None], (li, 0, 0, 0))
+        else:
+            ck = jax.lax.dynamic_update_slice(
+                ck, k[None].astype(ck.dtype), (li, 0, 0, 0, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cv, v[None].astype(cv.dtype), (li, 0, 0, 0, 0)
+            )
         if win_mask is not None:
             o = attend(q, k, v, mask=win_mask)
         else:
@@ -409,11 +425,15 @@ def run_layers_prefill(
         x = x + lora_proj(lp, "o", o.reshape(b, s, -1))
         hh = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
         x = x + _mlp(lp, hh)
-        return (x, ck, cv), None
+        return (x, ck, cv, sk, sv), None
 
-    (x, ck, cv), _ = jax.lax.scan(body, (x, cache.k, cache.v), layer_ids)
+    (x, ck, cv, sk, sv), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v, cache.k_scale, cache.v_scale), layer_ids
+    )
     length = jnp.broadcast_to(valid_len[None, :], cache.length.shape)
-    return PrefillResult(x=x, cache=KVCache(k=ck, v=cv, length=length))
+    return PrefillResult(
+        x=x, cache=KVCache(k=ck, v=cv, length=length, k_scale=sk, v_scale=sv)
+    )
 
 
 class DecodeResult(NamedTuple):
@@ -455,21 +475,49 @@ def run_layers_decode(
     layers = params["layers"]
     b = x.shape[0]
     layer_ids = jnp.arange(hi - lo, dtype=jnp.int32)
+    quantized = cache.quantized  # static — shapes the scan xs/ys
 
     def body(x, xs):
-        li, ck_l, cv_l, length_l = xs
+        if quantized:
+            li, ck_l, cv_l, sk_l, sv_l, length_l = xs
+            k_read = dequantize_kv(ck_l, sk_l, x.dtype)
+            v_read = dequantize_kv(cv_l, sv_l, x.dtype)
+        else:
+            li, ck_l, cv_l, length_l = xs
+            k_read, v_read = ck_l.astype(x.dtype), cv_l.astype(x.dtype)
         lp = index_layer(layers, li + lo)
         h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
         q, k, v = _qkv(lp, cfg, h, positions)
         o = decode_attend_appended(
-            q, ck_l.astype(q.dtype), cv_l.astype(q.dtype), k, v, length_l,
+            q, k_read, v_read, k, v, length_l,
             window=cfg.sliding_window, q_pos=positions[:, 0],
         )
         x = x + lora_proj(lp, "o", o.reshape(b, 1, -1))
         hh = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
         x = x + _mlp(lp, hh)
+        if quantized:
+            qk, ksc = quantize_kv(k)
+            qv, vsc = quantize_kv(v)
+            return x, (qk, qv, ksc, vsc)
         return x, (k.astype(cache.k.dtype), v.astype(cache.v.dtype))
 
+    if quantized:
+        x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
+            body, x,
+            (layer_ids, cache.k, cache.v, cache.k_scale, cache.v_scale,
+             cache.length),
+        )
+        ck, cv = write_token_layers(
+            cache.k, cache.v, k_new, v_new, cache.length
+        )
+        sk, sv = write_token_scales(
+            cache.k_scale, cache.v_scale, ks_new, vs_new, cache.length
+        )
+        return DecodeResult(
+            x=x,
+            cache=KVCache(k=ck, v=cv, length=cache.length,
+                          k_scale=sk, v_scale=sv),
+        )
     x, (k_new, v_new) = jax.lax.scan(
         body, x, (layer_ids, cache.k, cache.v, cache.length)
     )
@@ -549,28 +597,51 @@ def run_layers_extend(
         )
     layer_ids = jnp.arange(hi - lo, dtype=jnp.int32)
 
+    quantized = cache.quantized  # static — shapes the scan carry
+
     def body(carry, li):
-        x, ck, cv = carry
+        x, ck, cv, sk, sv = carry
         lp = index_layer(layers, li + lo)
         h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
         q, k, v = _qkv(lp, cfg, h, positions)
         ck_l = jax.lax.dynamic_index_in_dim(ck, li, axis=0, keepdims=False)
         cv_l = jax.lax.dynamic_index_in_dim(cv, li, axis=0, keepdims=False)
-        k_cat = jnp.concatenate([ck_l.astype(q.dtype), k], axis=1)
-        v_cat = jnp.concatenate([cv_l.astype(q.dtype), v], axis=1)
+        if quantized:
+            sk_l = jax.lax.dynamic_index_in_dim(sk, li, axis=0, keepdims=False)
+            sv_l = jax.lax.dynamic_index_in_dim(sv, li, axis=0, keepdims=False)
+            k_old = dequantize_kv(ck_l, sk_l, q.dtype)
+            v_old = dequantize_kv(cv_l, sv_l, q.dtype)
+        else:
+            k_old, v_old = ck_l.astype(q.dtype), cv_l.astype(q.dtype)
+        k_cat = jnp.concatenate([k_old, k], axis=1)
+        v_cat = jnp.concatenate([v_old, v], axis=1)
         o = attend(q, k_cat, v_cat, mask=mask)
-        ck_l = ck_l.at[batch_idx, target].set(k.astype(ck_l.dtype))
-        cv_l = cv_l.at[batch_idx, target].set(v.astype(cv_l.dtype))
+        if quantized:
+            qk, ksc = quantize_kv(k)
+            qv, vsc = quantize_kv(v)
+            ck_l = ck_l.at[batch_idx, target].set(qk)
+            cv_l = cv_l.at[batch_idx, target].set(qv)
+            sk_l = sk_l.at[batch_idx, target].set(ksc)
+            sv_l = sv_l.at[batch_idx, target].set(vsc)
+            sk = jax.lax.dynamic_update_slice(sk, sk_l[None], (li, 0, 0, 0))
+            sv = jax.lax.dynamic_update_slice(sv, sv_l[None], (li, 0, 0, 0))
+        else:
+            ck_l = ck_l.at[batch_idx, target].set(k.astype(ck_l.dtype))
+            cv_l = cv_l.at[batch_idx, target].set(v.astype(cv_l.dtype))
         ck = jax.lax.dynamic_update_slice(ck, ck_l[None], (li, 0, 0, 0, 0))
         cv = jax.lax.dynamic_update_slice(cv, cv_l[None], (li, 0, 0, 0, 0))
         x = x + lora_proj(lp, "o", o.reshape(b, m, -1))
         hh = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
         x = x + _mlp(lp, hh)
-        return (x, ck, cv), None
+        return (x, ck, cv, sk, sv), None
 
-    (x, ck, cv), _ = jax.lax.scan(body, (x, cache.k, cache.v), layer_ids)
+    (x, ck, cv, sk, sv), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v, cache.k_scale, cache.v_scale), layer_ids
+    )
     return DecodeResult(
-        x=x, cache=KVCache(k=ck, v=cv, length=cache.length), kept=kept
+        x=x,
+        cache=KVCache(k=ck, v=cv, length=cache.length, k_scale=sk, v_scale=sv),
+        kept=kept,
     )
 
 

@@ -21,6 +21,15 @@ cache_utils.py:109-268):
 
 Invariant: slots ``[0, length)`` are persisted tokens, left-aligned, in
 original temporal order.
+
+Storage dtypes: bf16 (default), fp8 (``float8_e4m3fn`` — a pure astype on
+write/read), or **scaled int8** (``jnp.int8``): each written K/V head vector
+is dynamically quantized to int8 with one bf16 scale per (layer, sample,
+slot, head) — amax/127 — stored in side buffers ``k_scale``/``v_scale``
+(~1.6% overhead at head_dim 128) and dequantized on read. Same KV-read
+bandwidth as fp8 with 3 extra mantissa bits of precision (the vLLM-style
+int8-KV option; reference relies on fp16 KV + bitsandbytes weight quant
+only).
 """
 
 from __future__ import annotations
@@ -34,11 +43,16 @@ from ..config import LlamaConfig
 
 
 class KVCache(NamedTuple):
-    """Cache for a contiguous range of layers (layer axis is range-relative)."""
+    """Cache for a contiguous range of layers (layer axis is range-relative).
+
+    ``k_scale``/``v_scale`` are populated only for the scaled-int8 storage
+    mode (one bf16 scale per stored head vector); None otherwise."""
 
     k: jax.Array  # [L, B, max_len, Hkv, d]
     v: jax.Array  # [L, B, max_len, Hkv, d]
     length: jax.Array  # [L, B] int32: number of persisted tokens per layer/sample
+    k_scale: Optional[jax.Array] = None  # [L, B, max_len, Hkv] bf16
+    v_scale: Optional[jax.Array] = None
 
     @property
     def max_len(self) -> int:
@@ -52,6 +66,28 @@ class KVCache(NamedTuple):
     def num_layers(self) -> int:
         return self.k.shape[0]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+
+def quantize_kv(x: jax.Array):
+    """[..., d] -> (int8 [..., d], bf16 scale [...]): symmetric per-vector
+    dynamic quantization (amax / 127). The division uses the bf16-ROUNDED
+    scale (what the reader will multiply by), so the only error is the
+    half-step rounding, not the scale's own bf16 rounding."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = (jnp.maximum(amax, 1e-8) * (1.0 / 127.0)).astype(jnp.bfloat16)
+    q = jnp.clip(
+        jnp.round(xf / scale.astype(jnp.float32)[..., None]), -127.0, 127.0
+    ).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_kv(q: jax.Array, scale: jax.Array, dtype) -> jax.Array:
+    return q.astype(dtype) * scale[..., None].astype(dtype)
+
 
 def init_cache(
     cfg: LlamaConfig,
@@ -62,10 +98,15 @@ def init_cache(
 ) -> KVCache:
     n = cfg.num_hidden_layers if num_layers is None else num_layers
     shape = (n, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+    scales = None
+    if jnp.dtype(dtype) == jnp.int8:  # scaled-int8 storage mode
+        scales = jnp.zeros(shape[:-1], jnp.bfloat16)
     return KVCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
         length=jnp.zeros((n, batch), jnp.int32),
+        k_scale=scales,
+        v_scale=None if scales is None else jnp.zeros_like(scales),
     )
 
 
@@ -168,6 +209,28 @@ def write_token_layers(
             v, v_new[:, bi:bi + 1].astype(v.dtype), start
         )
     return k, v
+
+
+def write_token_scales(
+    k_scale: jax.Array,  # [L, B, max_len, Hkv]
+    v_scale: jax.Array,
+    ks_new: jax.Array,  # [L, B, 1, Hkv] per-layer current-token K scales
+    vs_new: jax.Array,
+    length: jax.Array,  # [L, B]
+):
+    """Scale-buffer companion of ``write_token_layers`` (scaled-int8 mode):
+    same per-sample dus-form writes, one rank lower."""
+    pos = length[0]
+    n_batch = k_scale.shape[1]
+    for bi in range(n_batch):
+        start = (0, bi, pos[bi], 0)
+        k_scale = jax.lax.dynamic_update_slice(
+            k_scale, ks_new[:, bi:bi + 1].astype(k_scale.dtype), start
+        )
+        v_scale = jax.lax.dynamic_update_slice(
+            v_scale, vs_new[:, bi:bi + 1].astype(v_scale.dtype), start
+        )
+    return k_scale, v_scale
 
 
 def advance_lengths(

@@ -9,7 +9,8 @@ reference's bnb-4bit users get implicitly from benchmark tables:
    objects: held-out margins are finite, so quantization damage is
    visible even when training pairs are memorized (the trained-checkpoint
    stand-in — no public weights are downloadable in this environment).
-2. For each mode — bf16, int8, packed-int4, bf16+fp8-KV — measure:
+2. For each mode — bf16, int8, packed-int4, bf16+fp8-KV, bf16+int8-KV —
+   measure:
    * teacher-forced answer PPL through the REAL decode path (prefill +
      per-token decode against the tiered cache, so fp8-KV storage and the
      quantized matmuls are both on the measured path),
@@ -242,6 +243,7 @@ def main():
         ("int8", "int8", "bfloat16"),
         ("int4", "int4", "bfloat16"),
         ("fp8kv", "bf16", "float8_e4m3fn"),
+        ("int8kv", "bf16", "int8"),  # scaled-int8 KV (ops/kv_cache.py)
     ]
     rows = {}
     base_answers = None
