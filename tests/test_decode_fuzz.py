@@ -65,11 +65,15 @@ def test_chunked_decode_matches_per_token_random_config(draw):
     chunk = int(rng.choice([2, 3, 4, 7]))
     eos = cfg.text.vocab_size + 7  # unreachable: run the full budget
     bound = bool(rng.integers(2))
+    # equivalence must hold for every KV storage mode (both paths share the
+    # dtype, so quantization error is identical on both sides)
+    cache_dtype = str(rng.choice(["bfloat16", "int8", "float8_e4m3fn"]))
 
     def run(decode_chunk):
         gen = Generator(params, cfg, GenerationConfig(
             max_new_tokens=max_new, decode_chunk=decode_chunk,
             eos_token_id=eos, bound_kv_budget=bound,
+            cache_dtype=cache_dtype,
         ))
         out = gen.generate(ids_list, imgs)
         return out
@@ -78,7 +82,8 @@ def test_chunked_decode_matches_per_token_random_config(draw):
     chk = run(chunk)
     assert chk == tok, (
         f"draw {draw}: chunked({chunk}) != per-token for cfg "
-        f"{dataclasses.asdict(cfg.sparse)} max_new={max_new}"
+        f"{dataclasses.asdict(cfg.sparse)} max_new={max_new} "
+        f"cache_dtype={cache_dtype}"
     )
 
 
