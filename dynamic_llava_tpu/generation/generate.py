@@ -47,6 +47,20 @@ class GenerationConfig(NamedTuple):
     pad_multiple: int = 64
     # Default PRNG seed for temperature>0 sampling; generate(seed=...) overrides.
     seed: int = 0
+    # Post-tier (layers >= sparse_layer) policy once the decode KV budget is
+    # full. "drop": further tokens attend this step but are never persisted
+    # (the reference-faithful capacity contract). "ring": every token
+    # persists by evicting the OLDEST decode-region entry — a sliding
+    # recency window at a fixed allocation, for generations far longer than
+    # the KV budget (beyond parity: the reference's cache just grows). The
+    # pre tier (the sparse_layer earliest layers, ~6% of KV at 2/32) still
+    # appends; ChatSession requires "drop" (multi-round chunk extension
+    # does not wrap).
+    kv_overflow: str = "drop"
+    # Caps the post tier's decode-region allocation at this many tokens
+    # (the ring window size). None = the standard headroom derived from
+    # max_new_tokens; see models.dynamic.gen_cache_sizes.
+    kv_window: Optional[int] = None
 
 
 def _sample(rng, logits: jax.Array, temperature: float, top_p: float) -> jax.Array:
@@ -82,10 +96,12 @@ class Generator:
         # weight pytree into the HLO as constants); cfg is static.
         self._prefill = jax.jit(
             dynamic.prefill, static_argnums=(1,),
-            static_argnames=("all_have_image",), donate_argnums=(11,),
+            static_argnames=("all_have_image", "ring_mode"),
+            donate_argnums=(11,),
         )
         self._decode = jax.jit(
-            dynamic.decode_step, static_argnums=(1,), donate_argnums=(3,)
+            dynamic.decode_step, static_argnums=(1,),
+            static_argnames=("kv_overflow",), donate_argnums=(3,),
         )
         self._decode_chunks = {}  # n_steps -> jitted scan loop
 
@@ -100,7 +116,8 @@ class Generator:
             def body(carry, krng):
                 state = carry
                 tok = _sample(krng, state.last_logits, gc.temperature, gc.top_p)
-                state = dynamic.decode_step(params, cfg, tok, state)
+                state = dynamic.decode_step(params, cfg, tok, state,
+                                            kv_overflow=gc.kv_overflow)
                 return state, tok
 
             state, toks = jax.lax.scan(
@@ -147,7 +164,8 @@ class Generator:
                 state, active, hist, n_emit = carry
                 tok = _sample(krng, state.last_logits, gc.temperature, gc.top_p)
                 state2 = dynamic.decode_step(params, cfg, tok, state,
-                                             active=active)
+                                             active=active,
+                                             kv_overflow=gc.kv_overflow)
                 hist2 = jnp.concatenate(
                     [hist[:, 1:], tok[:, None].astype(jnp.int32)], axis=1
                 )
@@ -180,6 +198,7 @@ class Generator:
             bound_output_budget=self.gen_cfg.bound_kv_budget,
             all_have_image=all_have_image,
             bucket=self.gen_cfg.pad_multiple,
+            decode_window=self.gen_cfg.kv_window,
         )
         state, info = self._prefill(
             self.params, self.cfg,
@@ -194,6 +213,7 @@ class Generator:
             None if pixel_values is None else jnp.asarray(pixel_values),
             cache,
             all_have_image=all_have_image,
+            ring_mode=self.gen_cfg.kv_overflow == "ring",
         )
         return state, info
 
@@ -307,6 +327,7 @@ class Generator:
         cache = dynamic.make_gen_cache(
             self.cfg, plan.batch, plan.seq_len, n_chunks * chunk,
             jnp.dtype(gc.cache_dtype), all_have_image=False,
+            decode_window=gc.kv_window,
         )
         state, _ = self._prefill(
             self.params, self.cfg,
@@ -317,6 +338,7 @@ class Generator:
             jnp.asarray(plan.spans.last_instruct_end),
             jnp.asarray(plan.spans.has_image),
             None, cache, jnp.asarray(feat_pad),
+            ring_mode=gc.kv_overflow == "ring",
         )
         b = plan.batch
         out: List[List[int]] = [[] for _ in range(b)]
@@ -379,6 +401,14 @@ class ChatSession:
     """
 
     def __init__(self, generator: Generator, max_new_tokens_total: int = 2048):
+        if generator.gen_cfg.kv_overflow != "drop":
+            # multi-round chunk extension (prefill_continue) force-drops at
+            # capacity instead of wrapping; a wrapped ring cache would
+            # silently lose instruct-chunk KV — refuse rather than degrade
+            raise ValueError(
+                "ChatSession requires kv_overflow='drop'; the ring mode is "
+                "a single-conversation long-generation contract"
+            )
         self.gen = generator
         self.budget = max_new_tokens_total
         self.state: Optional[dynamic.GenState] = None

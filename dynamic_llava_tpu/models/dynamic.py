@@ -120,6 +120,10 @@ class GenState(NamedTuple):
     cache: TieredCache
     next_pos: jax.Array  # [B] original-position counter for RoPE (pre-pruning numbering)
     last_logits: jax.Array  # [B, V] fp32 logits of the last processed token
+    # Ring-overflow mode only (kv_overflow="ring"): the post tier's prefill
+    # length per sample — the protected region below which the decode ring
+    # never evicts. None in the default drop mode.
+    ring_base: Optional[jax.Array] = None  # [B] int32
 
 
 class PrefillInfo(NamedTuple):
@@ -145,6 +149,7 @@ def prefill(
     cache: TieredCache,
     image_features: Optional[jax.Array] = None,  # [B, N_pad, D] pre-encoded
     all_have_image: bool = False,
+    ring_mode: bool = False,  # records ring_base for kv_overflow="ring"
 ) -> Tuple[GenState, PrefillInfo]:
     """``image_features`` bypasses the in-graph tower for pre-encoded inputs
     (anyres tiling produces per-sample token counts the planner already
@@ -247,6 +252,7 @@ def prefill(
         cache=TieredCache(pre=cache_pre, post=cache_post),
         next_pos=valid_len,
         last_logits=logits,
+        ring_base=new_valid if ring_mode else None,
     )
     info = PrefillInfo(
         image_keep_mask=image_keep,
@@ -340,6 +346,12 @@ def prefill_continue(
         cache=TieredCache(pre=cache_pre, post=cache_post),
         next_pos=state.next_pos + advance,
         last_logits=logits,
+        # the ring marker passes through unchanged, but NOTE: the extend
+        # path itself never wraps — once the tier budget fills, chunk
+        # tokens are force-dropped (the capacity guard above). Ring
+        # eviction is a decode_step-only contract; multi-round sessions
+        # should use kv_overflow="drop" (ChatSession enforces this).
+        ring_base=state.ring_base,
     )
 
 
@@ -434,13 +446,28 @@ def decode_step(
     token: jax.Array,  # [B] next input token ids
     state: GenState,
     active: Optional[jax.Array] = None,  # [B] bool — False freezes the sample
+    kv_overflow: str = "drop",  # "drop" | "ring" (static)
 ) -> GenState:
     """``active=False`` samples are frozen no-ops: the token's K/V lands in
     the (never-persisted) next slot, lengths/positions do not advance, and
     ``last_logits`` keeps its previous value. This is what lets a chunked
     on-device decode scan run past a sample's EOS without corrupting the
     live cache — the chat/multi-round regime (reference streams one token
-    at a time instead, serve/model_worker.py:162-264)."""
+    at a time instead, serve/model_worker.py:162-264).
+
+    ``kv_overflow`` picks the post-tier full-budget policy:
+
+    * ``"drop"`` (default, the reference-faithful capacity contract): once
+      the budget fills, further tokens are force-dropped — they attend
+      from the scratch slot this step but are never persisted, so a very
+      long generation keeps its prompt + earliest kept tokens.
+    * ``"ring"``: post-wrap, EVERY token persists by overwriting the
+      oldest decode-region entry (the prefill region below ``ring_base``
+      is protected) — a sliding recency window at the same fixed
+      allocation. ``state.ring_base`` must be set (prefill ring_mode).
+      Beyond-parity: the reference has no bounded-cache long-generation
+      story at all (its cache grows to model_max_length).
+    """
     tcfg, sparse = cfg.text, cfg.sparse
     b = token.shape[0]
     sl = sparse.sparse_layer
@@ -464,19 +491,37 @@ def decode_step(
         keep = jnp.ones((b,), jnp.int32)
 
     # capacity bound: the post tier reserves its last slot as scratch for the
-    # in-flight token; once the budget fills, further tokens are force-
-    # dropped (they still attend this step from the scratch slot). This is
-    # what lets the tier be ALLOCATED at keep_rate x max_new instead of
-    # worst-case max_new.
+    # in-flight token; once the budget fills, the kv_overflow policy applies.
+    # This is what lets the tier be ALLOCATED at keep_rate x max_new instead
+    # of worst-case max_new.
+    attend_bound = write_slot = None  # default: append-at-length protocol
     if state.cache.post.num_layers > 0:
         post_budget = state.cache.post.max_len - 1
-        keep = keep * (state.cache.post.length[0] < post_budget).astype(jnp.int32)
+        cur_len = state.cache.post.length[0]
+        if kv_overflow == "ring" and state.ring_base is not None:
+            base = state.ring_base
+            cap = jnp.maximum(post_budget - base, 1)
+            wrapped = cur_len >= post_budget
+            # post-wrap every token persists (evicting the oldest); the
+            # predictor's decision still applies pre-wrap
+            keep = jnp.where(wrapped, 1, keep)
+            write_slot = jnp.where(
+                wrapped, base + jnp.remainder(cur_len - base, cap), cur_len
+            ).astype(jnp.int32)
+            attend_bound = jnp.minimum(cur_len, post_budget)
+            if active is not None:
+                # a frozen sample's write must not evict a live entry: send
+                # it to the scratch slot (outside the clamped bound)
+                write_slot = jnp.where(active, write_slot, post_budget)
+        else:
+            keep = keep * (cur_len < post_budget).astype(jnp.int32)
     if active is not None:
         keep = keep * active.astype(jnp.int32)
 
     d2 = llama.run_layers_decode(
         params["llm"], tcfg, x, pos, state.cache.post,
         lo=sl, hi=tcfg.num_hidden_layers,
+        attend_bound=attend_bound, write_slot=write_slot,
     )
     x, cache_post = d2.x, d2.cache
 
@@ -493,6 +538,7 @@ def decode_step(
         cache=cache,
         next_pos=state.next_pos + pos_inc,
         last_logits=logits,
+        ring_base=state.ring_base,
     )
 
 
@@ -637,7 +683,8 @@ def gen_cache_sizes(cfg: LlavaConfig, prompt_len: int, max_new_tokens: int,
                     margin: int = 8,
                     bound_output_budget: bool = True,
                     all_have_image: bool = True,
-                    bucket: int = 1) -> Tuple[int, int]:
+                    bucket: int = 1,
+                    decode_window: Optional[int] = None) -> Tuple[int, int]:
     """Static cache capacities: the pre tier holds everything; the post tier
     is sized by the pruned prefill budget + decode headroom. This is where
     the image-token pruning (576 -> ~115) turns into a smaller buffer — and
@@ -652,7 +699,14 @@ def gen_cache_sizes(cfg: LlavaConfig, prompt_len: int, max_new_tokens: int,
     samples — those keep all prompt tokens, so the post tier cannot be
     shrunk by the vision-prune budget. ``bucket`` rounds both capacities up
     to a multiple, so distinct prompt lengths share one compiled decode
-    program (remote TPU compiles take minutes; see eval harness note)."""
+    program (remote TPU compiles take minutes; see eval harness note).
+
+    ``decode_window`` caps the post tier's decode headroom at a fixed token
+    count regardless of ``max_new_tokens`` — the allocation knob for the
+    ring-overflow mode (``decode_step(kv_overflow="ring")``), where decode
+    KV beyond the window evicts the oldest decode entry instead of growing
+    the buffer. With the default "drop" mode a window just moves the
+    force-drop point earlier."""
     pre = prompt_len + max_new_tokens + margin
     sparse = cfg.sparse
     post_prefill = prompt_len
@@ -664,6 +718,8 @@ def gen_cache_sizes(cfg: LlavaConfig, prompt_len: int, max_new_tokens: int,
         decode_headroom = int(
             max_new_tokens * sparse.output_text_keep_rate
         ) + margin
+    if decode_window is not None:
+        decode_headroom = min(decode_headroom, decode_window)
     post = post_prefill + decode_headroom + margin + 1
     if bucket > 1:
         pre = -(-pre // bucket) * bucket
@@ -675,11 +731,13 @@ def make_gen_cache(
     cfg: LlavaConfig, batch: int, prompt_len: int, max_new_tokens: int,
     dtype=jnp.bfloat16, bound_output_budget: bool = True,
     all_have_image: bool = True, bucket: int = 1,
+    decode_window: Optional[int] = None,
 ) -> TieredCache:
     pre, post = gen_cache_sizes(
         cfg, prompt_len, max_new_tokens,
         bound_output_budget=bound_output_budget,
         all_have_image=all_have_image, bucket=bucket,
+        decode_window=decode_window,
     )
     return init_tiered_cache(
         cfg.text, cfg.sparse.sparse_layer, batch, pre, post, dtype

@@ -451,9 +451,18 @@ def run_layers_decode(
     *,
     lo: int = 0,
     hi: Optional[int] = None,
+    attend_bound: Optional[jax.Array] = None,  # [B] valid-slot bound override
+    write_slot: Optional[jax.Array] = None,  # [B] write-slot override
 ) -> DecodeResult:
     """One decode step through layers [lo, hi). ``cache`` covers exactly the
     range (layer axis is range-relative).
+
+    ``attend_bound``/``write_slot`` default to the tier length (the standard
+    append-at-length protocol). The ring-overflow mode passes them
+    explicitly: once the tier budget is full the bound saturates at the
+    budget while the write slot wraps over the decode region, so a new
+    token evicts the OLDEST decode entry instead of being force-dropped
+    (recency-preserving long generations; see dynamic.decode_step).
 
     The cache buffers enter the layer scan as READ-ONLY ``xs`` (per-layer
     slices are views): each layer attends over its persisted tokens plus
@@ -476,6 +485,14 @@ def run_layers_decode(
     b = x.shape[0]
     layer_ids = jnp.arange(hi - lo, dtype=jnp.int32)
     quantized = cache.quantized  # static — shapes the scan xs/ys
+    bound = (
+        cache.length if attend_bound is None
+        else jnp.broadcast_to(attend_bound[None, :], cache.length.shape)
+    )
+    slots = (
+        cache.length if write_slot is None
+        else jnp.broadcast_to(write_slot[None, :], cache.length.shape)
+    )
 
     def body(x, xs):
         if quantized:
@@ -505,13 +522,13 @@ def run_layers_decode(
         x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
             body, x,
             (layer_ids, cache.k, cache.v, cache.k_scale, cache.v_scale,
-             cache.length),
+             bound),
         )
         ck, cv = write_token_layers(
-            cache.k, cache.v, k_new, v_new, cache.length
+            cache.k, cache.v, k_new, v_new, slots
         )
         sk, sv = write_token_scales(
-            cache.k_scale, cache.v_scale, ks_new, vs_new, cache.length
+            cache.k_scale, cache.v_scale, ks_new, vs_new, slots
         )
         return DecodeResult(
             x=x,
@@ -519,9 +536,9 @@ def run_layers_decode(
                           k_scale=sk, v_scale=sv),
         )
     x, (k_new, v_new) = jax.lax.scan(
-        body, x, (layer_ids, cache.k, cache.v, cache.length)
+        body, x, (layer_ids, cache.k, cache.v, bound)
     )
-    ck, cv = write_token_layers(cache.k, cache.v, k_new, v_new, cache.length)
+    ck, cv = write_token_layers(cache.k, cache.v, k_new, v_new, slots)
     return DecodeResult(x=x, cache=KVCache(k=ck, v=cv, length=cache.length))
 
 
@@ -573,9 +590,15 @@ def run_layers_extend(
     kept = jnp.sum(keep_i, axis=1).astype(jnp.int32)
     batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
 
-    # mask: [B, 1, M, max_len + M] — cache cols by length, chunk cols causal
+    # mask: [B, 1, M, max_len + M] — cache cols by length, chunk cols causal.
+    # The bound is clamped to the budget (max_len - 1): in the ring-overflow
+    # mode the persisted COUNT exceeds capacity after wrap, and an unclamped
+    # bound would attend the scratch slot's stale garbage.
     cache_cols = jnp.arange(max_len, dtype=jnp.int32)
-    cache_mask = cache_cols[None, :] < length0[:, None]  # [B, max_len]
+    cache_mask = (
+        cache_cols[None, :]
+        < jnp.minimum(length0, max_len - 1)[:, None]
+    )  # [B, max_len]
     rows = jnp.arange(m, dtype=jnp.int32)
     chunk_mask = rows[None, :, None] >= rows[None, None, :]  # [1, M, M]
     mask = jnp.concatenate(

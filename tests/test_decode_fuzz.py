@@ -112,6 +112,37 @@ def test_chunked_decode_eos_freeze_random_config():
     assert outs[1][0][-1] == eos and len(outs[1][0]) <= 12
 
 
+@pytest.mark.parametrize("draw", range(2))
+def test_chunked_decode_matches_per_token_ring_overflow(draw):
+    """Ring-overflow regime (kv_overflow="ring", window << max_new): the
+    chunked scan must stay a pure optimization while slots wrap — including
+    with quantized KV storage, where the scale side-buffers wrap too."""
+    rng = np.random.default_rng(300 + draw)
+    cfg = _random_cfg(rng)
+    params = dynamic.init_llava_params(jax.random.key(20 + draw), cfg)
+    with_image = bool(rng.integers(2)) or cfg.sparse.use_vision_predictor
+    ids_list, imgs = _random_batch(rng, cfg, with_image)
+    max_new = 24
+    chunk = int(rng.choice([3, 5, 7]))
+    eos = cfg.text.vocab_size + 7
+    cache_dtype = str(rng.choice(["bfloat16", "int8", "float8_e4m3fn"]))
+
+    def run(decode_chunk):
+        gen = Generator(params, cfg, GenerationConfig(
+            max_new_tokens=max_new, decode_chunk=decode_chunk,
+            eos_token_id=eos, cache_dtype=cache_dtype,
+            kv_overflow="ring", kv_window=4, pad_multiple=1,
+        ))
+        return gen.generate(ids_list, imgs)
+
+    tok = run(1)
+    chk = run(chunk)
+    assert chk == tok, (
+        f"draw {draw}: ring chunked({chunk}) != per-token for cfg "
+        f"{dataclasses.asdict(cfg.sparse)} cache_dtype={cache_dtype}"
+    )
+
+
 def test_chunked_decode_matches_per_token_sliding_window():
     """Mistral regime: dense (predictors off), window BINDING during decode,
     multimodal batch — chunked must equal per-token."""
