@@ -37,6 +37,10 @@ def reorder_state(state: dynamic.GenState, beam_idx: jax.Array) -> dynamic.GenSt
         cache=reorder_cache(state.cache, beam_idx),
         next_pos=state.next_pos[beam_idx],
         last_logits=state.last_logits[beam_idx],
+        ring_base=None if state.ring_base is None
+        else state.ring_base[beam_idx],
+        ring_base_pre=None if state.ring_base_pre is None
+        else state.ring_base_pre[beam_idx],
     )
 
 

@@ -47,18 +47,19 @@ class GenerationConfig(NamedTuple):
     pad_multiple: int = 64
     # Default PRNG seed for temperature>0 sampling; generate(seed=...) overrides.
     seed: int = 0
-    # Post-tier (layers >= sparse_layer) policy once the decode KV budget is
-    # full. "drop": further tokens attend this step but are never persisted
-    # (the reference-faithful capacity contract). "ring": every token
-    # persists by evicting the OLDEST decode-region entry — a sliding
-    # recency window at a fixed allocation, for generations far longer than
-    # the KV budget (beyond parity: the reference's cache just grows). The
-    # pre tier (the sparse_layer earliest layers, ~6% of KV at 2/32) still
-    # appends; ChatSession requires "drop" (multi-round chunk extension
-    # does not wrap).
+    # KV-cache policy once a tier's decode budget is full. "drop": further
+    # tokens attend this step but are never persisted (the
+    # reference-faithful capacity contract). "ring": every token persists
+    # by evicting the OLDEST decode-region entry of the tier — a sliding
+    # recency window at a fixed TOTAL allocation (both tiers wrap
+    # independently; prefill regions are protected), for generations far
+    # longer than the KV budget (beyond parity: the reference's cache just
+    # grows). ChatSession requires "drop" (multi-round chunk extension
+    # does not wrap); incompatible with sliding_window models (a window IS
+    # already a recency ring).
     kv_overflow: str = "drop"
-    # Caps the post tier's decode-region allocation at this many tokens
-    # (the ring window size). None = the standard headroom derived from
+    # Caps each tier's decode-region allocation at this many tokens (the
+    # ring window size). None = the standard headroom derived from
     # max_new_tokens; see models.dynamic.gen_cache_sizes.
     kv_window: Optional[int] = None
 
@@ -199,6 +200,7 @@ class Generator:
             all_have_image=all_have_image,
             bucket=self.gen_cfg.pad_multiple,
             decode_window=self.gen_cfg.kv_window,
+            ring=self.gen_cfg.kv_overflow == "ring",
         )
         state, info = self._prefill(
             self.params, self.cfg,
@@ -328,6 +330,7 @@ class Generator:
             self.cfg, plan.batch, plan.seq_len, n_chunks * chunk,
             jnp.dtype(gc.cache_dtype), all_have_image=False,
             decode_window=gc.kv_window,
+            ring=gc.kv_overflow == "ring",
         )
         state, _ = self._prefill(
             self.params, self.cfg,

@@ -120,10 +120,11 @@ class GenState(NamedTuple):
     cache: TieredCache
     next_pos: jax.Array  # [B] original-position counter for RoPE (pre-pruning numbering)
     last_logits: jax.Array  # [B, V] fp32 logits of the last processed token
-    # Ring-overflow mode only (kv_overflow="ring"): the post tier's prefill
+    # Ring-overflow mode only (kv_overflow="ring"): each tier's prefill
     # length per sample — the protected region below which the decode ring
     # never evicts. None in the default drop mode.
-    ring_base: Optional[jax.Array] = None  # [B] int32
+    ring_base: Optional[jax.Array] = None  # [B] int32 (post tier)
+    ring_base_pre: Optional[jax.Array] = None  # [B] int32 (pre tier)
 
 
 class PrefillInfo(NamedTuple):
@@ -253,6 +254,7 @@ def prefill(
         next_pos=valid_len,
         last_logits=logits,
         ring_base=new_valid if ring_mode else None,
+        ring_base_pre=valid_len if ring_mode else None,
     )
     info = PrefillInfo(
         image_keep_mask=image_keep,
@@ -346,12 +348,13 @@ def prefill_continue(
         cache=TieredCache(pre=cache_pre, post=cache_post),
         next_pos=state.next_pos + advance,
         last_logits=logits,
-        # the ring marker passes through unchanged, but NOTE: the extend
-        # path itself never wraps — once the tier budget fills, chunk
+        # the ring markers pass through unchanged, but NOTE: the extend
+        # path itself never wraps — once a tier budget fills, chunk
         # tokens are force-dropped (the capacity guard above). Ring
         # eviction is a decode_step-only contract; multi-round sessions
         # should use kv_overflow="drop" (ChatSession enforces this).
         ring_base=state.ring_base,
+        ring_base_pre=state.ring_base_pre,
     )
 
 
@@ -440,6 +443,27 @@ def forward_nocache_eval(
 # ---------------------------------------------------------------------------
 
 
+def _ring_slots(
+    length: jax.Array,  # [B] persisted count (may exceed the budget)
+    base: jax.Array,  # [B] protected prefill region bound
+    budget: int,  # tier capacity minus the scratch slot
+    active: Optional[jax.Array],
+):
+    """Shared ring arithmetic: (attend_bound, write_slot, wrapped). Below
+    the budget this reproduces the append-at-length protocol exactly; past
+    it the write slot rotates over [base, budget) so each new token evicts
+    the oldest decode-region entry, and the attend bound saturates at the
+    budget. Frozen samples write to the scratch slot (never attended)."""
+    cap = jnp.maximum(budget - base, 1)
+    wrapped = length >= budget
+    slot = jnp.where(
+        wrapped, base + jnp.remainder(length - base, cap), length
+    ).astype(jnp.int32)
+    if active is not None:
+        slot = jnp.where(active, slot, budget)
+    return jnp.minimum(length, budget), slot, wrapped
+
+
 def decode_step(
     params,
     cfg: LlavaConfig,
@@ -462,21 +486,39 @@ def decode_step(
       from the scratch slot this step but are never persisted, so a very
       long generation keeps its prompt + earliest kept tokens.
     * ``"ring"``: post-wrap, EVERY token persists by overwriting the
-      oldest decode-region entry (the prefill region below ``ring_base``
-      is protected) — a sliding recency window at the same fixed
-      allocation. ``state.ring_base`` must be set (prefill ring_mode).
-      Beyond-parity: the reference has no bounded-cache long-generation
-      story at all (its cache grows to model_max_length).
+      oldest decode-region entry (the prefill region below the tier's ring
+      base is protected) — a sliding recency window at the same fixed
+      allocation, in BOTH tiers (each wraps independently at its own
+      budget). ``state.ring_base``/``ring_base_pre`` must be set (prefill
+      ring_mode). Beyond-parity: the reference has no bounded-cache
+      long-generation story at all (its cache grows to model_max_length).
     """
     tcfg, sparse = cfg.text, cfg.sparse
     b = token.shape[0]
     sl = sparse.sparse_layer
+    if kv_overflow == "ring":
+        # a wrapped ring breaks the slot==position invariant the window
+        # mask relies on — and a sliding window IS already a recency ring
+        assert tcfg.sliding_window is None, (
+            "kv_overflow='ring' is incompatible with sliding_window"
+        )
 
     x = llama.embed_tokens(params["llm"], token[:, None])
     pos = state.next_pos[:, None]
 
+    pre_bound = pre_slot = None
+    if (
+        kv_overflow == "ring"
+        and state.ring_base_pre is not None
+        and state.cache.pre.num_layers > 0
+    ):
+        pre_bound, pre_slot, _ = _ring_slots(
+            state.cache.pre.length[0], state.ring_base_pre,
+            state.cache.pre.max_len - 1, active,
+        )
     d1 = llama.run_layers_decode(
-        params["llm"], tcfg, x, pos, state.cache.pre, lo=0, hi=sl
+        params["llm"], tcfg, x, pos, state.cache.pre, lo=0, hi=sl,
+        attend_bound=pre_bound, write_slot=pre_slot,
     )
     x, cache_pre = d1.x, d1.cache
 
@@ -499,20 +541,12 @@ def decode_step(
         post_budget = state.cache.post.max_len - 1
         cur_len = state.cache.post.length[0]
         if kv_overflow == "ring" and state.ring_base is not None:
-            base = state.ring_base
-            cap = jnp.maximum(post_budget - base, 1)
-            wrapped = cur_len >= post_budget
+            attend_bound, write_slot, wrapped = _ring_slots(
+                cur_len, state.ring_base, post_budget, active
+            )
             # post-wrap every token persists (evicting the oldest); the
             # predictor's decision still applies pre-wrap
             keep = jnp.where(wrapped, 1, keep)
-            write_slot = jnp.where(
-                wrapped, base + jnp.remainder(cur_len - base, cap), cur_len
-            ).astype(jnp.int32)
-            attend_bound = jnp.minimum(cur_len, post_budget)
-            if active is not None:
-                # a frozen sample's write must not evict a live entry: send
-                # it to the scratch slot (outside the clamped bound)
-                write_slot = jnp.where(active, write_slot, post_budget)
         else:
             keep = keep * (cur_len < post_budget).astype(jnp.int32)
     if active is not None:
@@ -539,6 +573,7 @@ def decode_step(
         next_pos=state.next_pos + pos_inc,
         last_logits=logits,
         ring_base=state.ring_base,
+        ring_base_pre=state.ring_base_pre,
     )
 
 
@@ -684,7 +719,8 @@ def gen_cache_sizes(cfg: LlavaConfig, prompt_len: int, max_new_tokens: int,
                     bound_output_budget: bool = True,
                     all_have_image: bool = True,
                     bucket: int = 1,
-                    decode_window: Optional[int] = None) -> Tuple[int, int]:
+                    decode_window: Optional[int] = None,
+                    ring: bool = False) -> Tuple[int, int]:
     """Static cache capacities: the pre tier holds everything; the post tier
     is sized by the pruned prefill budget + decode headroom. This is where
     the image-token pruning (576 -> ~115) turns into a smaller buffer — and
@@ -706,8 +742,16 @@ def gen_cache_sizes(cfg: LlavaConfig, prompt_len: int, max_new_tokens: int,
     ring-overflow mode (``decode_step(kv_overflow="ring")``), where decode
     KV beyond the window evicts the oldest decode entry instead of growing
     the buffer. With the default "drop" mode a window just moves the
-    force-drop point earlier."""
-    pre = prompt_len + max_new_tokens + margin
+    force-drop point earlier.
+
+    ``ring`` additionally caps the PRE tier at the window (both tiers wrap
+    in ring mode, so the WHOLE allocation is bounded regardless of
+    ``max_new_tokens``); it must stay False for drop mode, where the pre
+    tier never stops appending and needs worst-case room."""
+    pre_headroom = max_new_tokens
+    if ring and decode_window is not None:
+        pre_headroom = min(max_new_tokens, decode_window)
+    pre = prompt_len + pre_headroom + margin
     sparse = cfg.sparse
     post_prefill = prompt_len
     if sparse.use_vision_predictor and all_have_image:
@@ -731,13 +775,13 @@ def make_gen_cache(
     cfg: LlavaConfig, batch: int, prompt_len: int, max_new_tokens: int,
     dtype=jnp.bfloat16, bound_output_budget: bool = True,
     all_have_image: bool = True, bucket: int = 1,
-    decode_window: Optional[int] = None,
+    decode_window: Optional[int] = None, ring: bool = False,
 ) -> TieredCache:
     pre, post = gen_cache_sizes(
         cfg, prompt_len, max_new_tokens,
         bound_output_budget=bound_output_budget,
         all_have_image=all_have_image, bucket=bucket,
-        decode_window=decode_window,
+        decode_window=decode_window, ring=ring,
     )
     return init_tiered_cache(
         cfg.text, cfg.sparse.sparse_layer, batch, pre, post, dtype

@@ -59,8 +59,11 @@ def _prefill_text(params, cfg, lens, max_new, window, ring, seed=0):
         for L in lens
     ]
     plan = plan_batch(ids, 0)
+    # ring-sized capacities for BOTH the ring run and its drop-mode oracle
+    # seed, so the two share buffer shapes and slot layouts exactly
     pre, post = gen_cache_sizes(
-        cfg, plan.seq_len, max_new, decode_window=window
+        cfg, plan.seq_len, max_new, decode_window=window,
+        ring=window is not None,
     )
     cache = init_tiered_cache(
         cfg.text, cfg.sparse.sparse_layer, plan.batch, pre, post, jnp.float32
@@ -107,74 +110,89 @@ def test_ring_no_wrap_matches_drop_exactly():
 def test_ring_wrap_matches_handbuilt_recency_oracle():
     """Teacher-forced decode far past the window. Oracle: at each step,
     hand-place the prompt + the last-W entries at the exact ring slots into
-    a fresh buffer and run the plain DROP-mode step on it — no ring code in
-    the oracle path. Logits must match step for step, per sample (bases and
-    window capacities differ across the ragged batch)."""
+    fresh buffers — for BOTH tiers, each with its own base/capacity — and
+    run the plain DROP-mode step on them. No ring code in the oracle path.
+    Logits must match step for step, per sample (bases and window
+    capacities differ across the ragged batch)."""
     cfg = _cfg()
     params = dynamic.init_llava_params(jax.random.key(2), cfg)
     lens = (5, 8)
     window = 6
     state_r, plan = _prefill_text(params, cfg, lens, 64, window, ring=True)
     b = plan.batch
-    post_cap = state_r.cache.post.max_len
-    budget = post_cap - 1
-    base = np.asarray(state_r.cache.post.length[0]).copy()  # [B] == valid_len
-    cap = budget - base  # per-sample ring capacity
-    assert (cap >= 1).all()
-    n_steps = int(cap.max()) * 3 + 2  # several full wraps
 
-    rng = np.random.default_rng(3)
-    toks = rng.integers(3, cfg.text.vocab_size, size=(n_steps, b))
+    class Tier:
+        """Per-tier oracle bookkeeping: seed buffers + per-step entry log."""
+
+        def __init__(self, tier_cache):
+            self.k0 = np.asarray(tier_cache.k).copy()
+            self.v0 = np.asarray(tier_cache.v).copy()
+            self.n_layers = tier_cache.num_layers
+            self.budget = tier_cache.max_len - 1
+            self.base = np.asarray(tier_cache.length[0]).copy()  # [B]
+            self.cap = self.budget - self.base
+            assert (self.cap >= 1).all()
+            self.log_k, self.log_v = [], []
+
+        def build(self, t):
+            """Buffers + lengths holding prompt + the last-W entries at the
+            exact ring slots, as of step t."""
+            k, v = self.k0.copy(), self.v0.copy()
+            length = np.zeros((b,), np.int32)
+            for bi in range(b):
+                w = min(t, int(self.cap[bi]))
+                for i in range(t - w, t):
+                    slot = int(self.base[bi]) + i % int(self.cap[bi])
+                    k[:, bi, slot] = self.log_k[i][:, bi]
+                    v[:, bi, slot] = self.log_v[i][:, bi]
+                length[bi] = int(self.base[bi]) + w
+            return KVCache(
+                k=jnp.asarray(k), v=jnp.asarray(v),
+                length=jnp.broadcast_to(
+                    jnp.asarray(length)[None], (self.n_layers, b)
+                ),
+            ), length
+
+        def record(self, new_cache, length):
+            """Pull the step's new K/V out of the returned buffers (written
+            at length, or the scratch slot once the window is full)."""
+            nk, nv = np.asarray(new_cache.k), np.asarray(new_cache.v)
+            wslot = np.minimum(length, self.budget)
+            self.log_k.append(
+                np.stack([nk[:, bi, wslot[bi]] for bi in range(b)], axis=1)
+            )
+            self.log_v.append(
+                np.stack([nv[:, bi, wslot[bi]] for bi in range(b)], axis=1)
+            )
 
     # oracle seed: an identical prefill without the ring marker
     state_o, _ = _prefill_text(params, cfg, lens, 64, window, ring=False)
-    post0_k = np.asarray(state_o.cache.post.k).copy()
-    post0_v = np.asarray(state_o.cache.post.v).copy()
-    pre_cache = state_o.cache.pre
+    pre_t, post_t = Tier(state_o.cache.pre), Tier(state_o.cache.post)
     next_pos0 = np.asarray(state_o.next_pos).copy()
-    n_post = state_o.cache.post.num_layers
 
-    log_k = []  # per step: [Lpost, B, Hkv, d] the new token's K per layer
-    log_v = []
+    n_steps = int(post_t.cap.max()) * 3 + 2  # several full wraps, both tiers
+    assert n_steps > int(pre_t.cap.max()) + 2  # the pre tier wraps too
+    rng = np.random.default_rng(3)
+    toks = rng.integers(3, cfg.text.vocab_size, size=(n_steps, b))
+
     ring_logits, oracle_logits = [], []
     for t in range(n_steps):
         tok = jnp.asarray(toks[t])
         state_r = _decode(params, cfg, tok, state_r, kv_overflow="ring")
         ring_logits.append(np.asarray(state_r.last_logits))
 
-        # --- oracle step: fresh drop-mode cache with the expected window ---
-        ok, ov = post0_k.copy(), post0_v.copy()
-        olen = np.zeros((b,), np.int32)
-        for bi in range(b):
-            w = min(t, int(cap[bi]))
-            for i in range(t - w, t):
-                slot = int(base[bi]) + i % int(cap[bi])
-                ok[:, bi, slot] = log_k[i][:, bi]
-                ov[:, bi, slot] = log_v[i][:, bi]
-            olen[bi] = int(base[bi]) + w
-        post = KVCache(
-            k=jnp.asarray(ok), v=jnp.asarray(ov),
-            length=jnp.broadcast_to(jnp.asarray(olen)[None], (n_post, b)),
-        )
+        # --- oracle step: fresh drop-mode caches with the expected windows
+        pre_cache, pre_len = pre_t.build(t)
+        post_cache, post_len = post_t.build(t)
         o_state = dynamic.GenState(
-            cache=TieredCache(pre=pre_cache, post=post),
+            cache=TieredCache(pre=pre_cache, post=post_cache),
             next_pos=jnp.asarray(next_pos0 + t),
             last_logits=jnp.zeros_like(state_r.last_logits),
         )
         o_state = _decode(params, cfg, tok, o_state)
         oracle_logits.append(np.asarray(o_state.last_logits))
-        pre_cache = o_state.cache.pre  # pre tier appends normally: carry it
-        # extract the new token's K/V (written at olen, or the scratch slot
-        # when the window is full — drop mode force-drops there)
-        new_k = np.asarray(o_state.cache.post.k)
-        new_v = np.asarray(o_state.cache.post.v)
-        wslot = np.minimum(olen, budget)
-        log_k.append(
-            np.stack([new_k[:, bi, wslot[bi]] for bi in range(b)], axis=1)
-        )
-        log_v.append(
-            np.stack([new_v[:, bi, wslot[bi]] for bi in range(b)], axis=1)
-        )
+        pre_t.record(o_state.cache.pre, pre_len)
+        post_t.record(o_state.cache.post, post_len)
 
     for t in range(n_steps):
         np.testing.assert_allclose(
@@ -182,22 +200,27 @@ def test_ring_wrap_matches_handbuilt_recency_oracle():
             err_msg=f"step {t}",
         )
 
-    # final structural check: the ring region holds exactly the last-cap
-    # entries, at the expected wrapped slots, matching the oracle's log
-    ring_k = np.asarray(state_r.cache.post.k)
-    for bi in range(b):
-        for i in range(n_steps - int(cap[bi]), n_steps):
-            slot = int(base[bi]) + i % int(cap[bi])
-            np.testing.assert_allclose(
-                ring_k[:, bi, slot], log_k[i][:, bi], atol=1e-4, rtol=1e-4
+    # final structural check, both tiers: the ring region holds exactly the
+    # last-cap entries at the expected wrapped slots; the protected prefill
+    # region was never evicted; the persisted count kept growing
+    for tier, ring_cache in (
+        (pre_t, state_r.cache.pre), (post_t, state_r.cache.post),
+    ):
+        ring_k = np.asarray(ring_cache.k)
+        for bi in range(b):
+            for i in range(n_steps - int(tier.cap[bi]), n_steps):
+                slot = int(tier.base[bi]) + i % int(tier.cap[bi])
+                np.testing.assert_allclose(
+                    ring_k[:, bi, slot], tier.log_k[i][:, bi],
+                    atol=1e-4, rtol=1e-4,
+                )
+            np.testing.assert_array_equal(
+                ring_k[:, bi, : int(tier.base[bi])],
+                tier.k0[:, bi, : int(tier.base[bi])],
             )
-    # the protected prefill region was never evicted
-    for bi in range(b):
-        np.testing.assert_array_equal(
-            ring_k[:, bi, : int(base[bi])], post0_k[:, bi, : int(base[bi])]
-        )
-    # persisted count kept growing past the budget (the wrap bookkeeping)
-    assert (np.asarray(state_r.cache.post.length[0]) == base + n_steps).all()
+        assert (
+            np.asarray(ring_cache.length[0]) == tier.base + n_steps
+        ).all()
 
 
 def test_ring_frozen_sample_never_evicts():
