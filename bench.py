@@ -182,34 +182,21 @@ CONFIGS = {
 }
 
 
-def run_child():
-    """BENCH_ONLY subprocess: measure one (config, sparse|dense) side."""
+def build_bench_params(cfg, quant=None):
+    """Random-initialized bench weights, optionally weight-quantized at
+    init (13B bf16 would not fit long enough to be quantized in place)."""
     import jax
-
-    # compiles dominate bench wall time (~5 min per program over the
-    # remote-compile tunnel); cache them across arms and driver runs
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
 
-    from dynamic_llava_tpu.eval.bench import bench_config, dense_config
     from dynamic_llava_tpu.models import dynamic
 
-    model = os.environ.get("BENCH_MODEL", "7b")
-    batch = int(os.environ.get("BENCH_BATCH", "1"))
-    new_tokens = int(os.environ.get("BENCH_TOKENS", "64"))
-    text_len = int(os.environ.get("BENCH_TEXT", "64"))
-    cfg = _cfg(model)
-
-    if os.environ.get("BENCH_QUANT") in ("int8", "int4"):
-        # int8 weights are built directly (13B bf16 would not fit long
-        # enough to be quantized in place)
+    if quant in ("int8", "int4"):
         from dynamic_llava_tpu.models.clip import init_clip_params
         from dynamic_llava_tpu.models.predictors import init_predictors
         from dynamic_llava_tpu.models.projector import init_projector_params
         from dynamic_llava_tpu.ops.quant import init_quantized_llama_params
 
-        bits = 4 if os.environ.get("BENCH_QUANT") == "int4" else 8
+        bits = 4 if quant == "int4" else 8
         k = jax.random.key(0)
         params = {
             "llm": init_quantized_llama_params(k, cfg.text, bits=bits),
@@ -226,7 +213,27 @@ def run_child():
         params = dynamic.init_llava_params(
             jax.random.key(0), cfg, dtype=jnp.bfloat16
         )
-    params = jax.block_until_ready(params)
+    return jax.block_until_ready(params)
+
+
+def run_child():
+    """BENCH_ONLY subprocess: measure one (config, sparse|dense) side."""
+    import jax
+
+    # compiles dominate bench wall time (~5 min per program over the
+    # remote-compile tunnel); cache them across arms and driver runs
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import jax.numpy as jnp
+
+    from dynamic_llava_tpu.eval.bench import bench_config, dense_config
+
+    model = os.environ.get("BENCH_MODEL", "7b")
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    new_tokens = int(os.environ.get("BENCH_TOKENS", "64"))
+    text_len = int(os.environ.get("BENCH_TEXT", "64"))
+    cfg = _cfg(model)
+    params = build_bench_params(cfg, os.environ.get("BENCH_QUANT"))
 
     which = os.environ["BENCH_ONLY"]
     c = dense_config(cfg) if which == "dense" else cfg
