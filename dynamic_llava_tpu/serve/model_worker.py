@@ -47,6 +47,8 @@ class ModelWorker:
         model_base: str,
         model_name: str,
         limit_model_concurrency: int = 5,
+        kv_overflow: str = "drop",
+        kv_window=None,
     ):
         from ..mm_utils import get_model_name_from_path
         from ..models.builder import load_pretrained_model
@@ -56,6 +58,13 @@ class ModelWorker:
         self.worker_id = worker_id
         self.model_name = model_name or get_model_name_from_path(model_path)
         self.limit_model_concurrency = limit_model_concurrency
+        # deployment-level KV policy: "ring" + a window serves long
+        # generations at a fixed per-request cache allocation
+        # (GenerationConfig.kv_overflow; single-shot requests only — the
+        # worker has no multi-round cache, so the ChatSession restriction
+        # does not apply)
+        self.kv_overflow = kv_overflow
+        self.kv_window = kv_window
         logger.info(f"Loading the model {self.model_name} on worker {worker_id} ...")
         (
             self.tokenizer,
@@ -177,6 +186,8 @@ class ModelWorker:
                     temperature=temperature,
                     top_p=top_p,
                     eos_token_id=tokenizer.eos_token_id,
+                    kv_overflow=self.kv_overflow,
+                    kv_window=self.kv_window,
                 ),
             )
             self._generators[gen_key] = gen
@@ -302,6 +313,14 @@ def main(argv=None):
     parser.add_argument("--model-name", type=str, default=None)
     parser.add_argument("--limit-model-concurrency", type=int, default=5)
     parser.add_argument("--no-register", action="store_true")
+    parser.add_argument("--kv-overflow", choices=("drop", "ring"),
+                        default="drop",
+                        help="KV policy past the decode budget: drop "
+                             "(reference contract) or ring (fixed-window "
+                             "recency eviction for long generations)")
+    parser.add_argument("--kv-window", type=int, default=None,
+                        help="decode-region cache allocation per tier, in "
+                             "tokens (the ring window size)")
     args = parser.parse_args(argv)
 
     worker = ModelWorker(
@@ -313,6 +332,8 @@ def main(argv=None):
         args.model_base,
         args.model_name,
         args.limit_model_concurrency,
+        kv_overflow=args.kv_overflow,
+        kv_window=args.kv_window,
     )
     from .http_compat import fastapi_available, worker_stdlib_app
 

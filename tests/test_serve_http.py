@@ -159,6 +159,55 @@ def test_model_worker_streams_fast_decode_path(tmp_path):
     assert worker_text == ref_text
 
 
+def test_model_worker_ring_kv_flags(tmp_path):
+    """--kv-overflow ring --kv-window N must flow into the worker's cached
+    Generators: its stream matches a ring-configured Generator exactly."""
+    pytest.importorskip("torch")
+    pytest.importorskip("tokenizers")
+    from helpers import make_tiny_checkpoint
+
+    ckpt = make_tiny_checkpoint(str(tmp_path / "ckpt"))
+
+    from dynamic_llava_tpu.serve.model_worker import ModelWorker
+
+    w = ModelWorker(
+        controller_addr="", worker_addr="", worker_id="t1", no_register=True,
+        model_path=ckpt, model_base=None, model_name="tiny-dynamic-llava",
+        kv_overflow="ring", kv_window=8,
+    )
+    prompt = "USER : Say hello . ASSISTANT :"
+    max_new = 24  # >> window: the ring wraps mid-stream
+    chunks = list(w.generate_stream({
+        "prompt": prompt, "temperature": 0.0, "max_new_tokens": max_new,
+    }))
+    msgs = [json.loads(c.rstrip(b"\0")) for c in chunks]
+    assert msgs and all(m["error_code"] == 0 for m in msgs)
+    worker_text = msgs[-1]["text"][len(prompt):]
+
+    gen_cfg = w._generators[(0.0, 1.0)].gen_cfg
+    assert gen_cfg.kv_overflow == "ring" and gen_cfg.kv_window == 8
+
+    from dynamic_llava_tpu.generation.generate import (
+        GenerationConfig,
+        Generator,
+    )
+    from dynamic_llava_tpu.mm_utils import tokenizer_image_token
+
+    ids = np.asarray(tokenizer_image_token(prompt, w.tokenizer), np.int64)
+    gen = Generator(
+        w.runtime.params, w.runtime.cfg,
+        GenerationConfig(
+            max_new_tokens=max_new, temperature=0.0,
+            eos_token_id=w.tokenizer.eos_token_id,
+            kv_overflow="ring", kv_window=8,
+        ),
+    )
+    out = gen.generate([ids])[0]
+    if out and out[-1] == w.tokenizer.eos_token_id:
+        out = out[:-1]
+    assert worker_text == w.tokenizer.decode(out, skip_special_tokens=True)
+
+
 def test_gradio_http_bot_flow(tmp_path, monkeypatch):
     """Exercise the web server's request flow (controller -> worker ->
     streamed state updates) without the gradio UI layer."""
