@@ -189,6 +189,36 @@ class Generator:
         self._decode_chunks[key] = (fn, k_hist)
         return fn, k_hist
 
+    def _spec_fn(self, m: int):
+        """Jitted speculative verify round for M candidate tokens
+        (models.dynamic.decode_speculative_step); cached per M."""
+        key = ("spec", m)
+        if key in self._decode_chunks:
+            return self._decode_chunks[key]
+        cfg, gc = self.cfg, self.gen_cfg
+
+        def spec(params, state, tokens, active):
+            return dynamic.decode_speculative_step(
+                params, cfg, tokens, state, gc.eos_token_id, active=active
+            )
+
+        fn = jax.jit(spec, donate_argnums=(1,))
+        self._decode_chunks[key] = fn
+        return fn
+
+    def generate_speculative(self, input_ids_list, pixel_values=None,
+                             draft="prompt_lookup", draft_k: int = 4,
+                             stats: Optional[dict] = None):
+        """Greedy generation via speculative verify rounds — identical
+        tokens to ``generate``, fewer decode passes (see
+        generation/speculative.py)."""
+        from .speculative import generate_speculative
+
+        return generate_speculative(
+            self, input_ids_list, pixel_values, draft=draft,
+            draft_k=draft_k, stats=stats,
+        )
+
     def prefill_from_plan(self, plan: FusionPlan, pixel_values, max_new_tokens: int):
         cache_dtype = jnp.dtype(self.gen_cfg.cache_dtype)
         all_have_image = pixel_values is not None and bool(

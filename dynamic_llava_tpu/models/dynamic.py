@@ -577,6 +577,135 @@ def decode_step(
     )
 
 
+def decode_speculative_step(
+    params,
+    cfg: LlavaConfig,
+    tokens: jax.Array,  # [B, M]: [next committed token, draft_1..draft_{M-1}]
+    state: GenState,
+    eos_token_id: int,
+    active: Optional[jax.Array] = None,  # [B] bool — False freezes the sample
+) -> Tuple[GenState, jax.Array, jax.Array]:
+    """One speculative round: verify M candidate tokens in ONE forward pass,
+    exactly equivalent to feeding them one-by-one through ``decode_step``.
+
+    ``tokens[:, 0]`` is the model's own committed next token (argmax of
+    ``state.last_logits``) — always accepted; ``tokens[:, 1:]`` are drafts
+    from any source. The pass runs ``run_layers_extend`` with the
+    sequential-equivalence chunk mask (a token the output-text predictor
+    DROPS is invisible to later chunk tokens, as it would be step-by-step),
+    computes the greedy argmax chain over all M positions, accepts the
+    longest matching prefix (cut at the first EOS input), and rolls the
+    caches back to the accepted prefix BY LENGTHS ALONE — rejected tokens'
+    K/V were written beyond the rolled-back lengths, are never attended
+    (attention bounds by length), and are overwritten by later rounds.
+
+    Returns ``(state2, n_acc [B] int32, next_tok [B] int32)``: the number
+    of accepted input tokens (>= 1 for active samples; the caller emits
+    ``tokens[b, :n_acc]``) and the committed token that follows the
+    accepted prefix (round r+1's ``tokens[:, 0]``). A drop-mode contract:
+    the decode-budget force-drop applies per token exactly as in
+    ``decode_step``; incompatible with ``kv_overflow="ring"``.
+
+    Beyond-parity: the reference has no speculative/assisted decoding
+    (HF GenerationMixin greedy loop only, dynamic_llava_llama.py:117-169).
+    With M == 1 this degenerates to plain greedy decode.
+    """
+    tcfg, sparse = cfg.text, cfg.sparse
+    assert state.ring_base is None, "speculative decode requires drop mode"
+    b, m = tokens.shape
+    sl = sparse.sparse_layer
+
+    x = llama.embed_tokens(params["llm"], tokens)
+    positions = state.next_pos[:, None] + jnp.arange(m, dtype=jnp.int32)[None, :]
+    valid = None
+    if active is not None:
+        valid = jnp.broadcast_to(active[:, None], (b, m))
+
+    d1 = llama.run_layers_extend(
+        params["llm"], tcfg, x, positions, state.cache.pre, lo=0, hi=sl,
+        keep=valid,
+    )
+    x = d1.x
+
+    # E3 per-token persist decision, batched over the M candidates — the
+    # hidden entering the sparse layer is identical to the sequential
+    # path's (the pre tier persists everything), so decisions match
+    if sparse.use_output_text_predictor:
+        tp = text_predictor(
+            params["predictors"]["output_text_score_predictor"], x
+        )
+        keep = tp[..., 0] > tp[..., 1]  # [B, M]
+    else:
+        keep = jnp.ones((b, m), bool)
+    # capacity force-drop, cumulative over the chunk (same rule the
+    # sequential steps apply one at a time); computed here because the
+    # chunk-attend mask must reflect the POST-clamp decisions
+    post_budget = state.cache.post.max_len - 1
+    len_post0 = state.cache.post.length[0]
+    offsets = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+    remaining = jnp.maximum(post_budget - len_post0, 0)
+    keep = keep & (offsets < remaining[:, None])
+    if valid is not None:
+        keep = keep & valid
+
+    d2 = llama.run_layers_extend(
+        params["llm"], tcfg, x, positions, state.cache.post,
+        lo=sl, hi=tcfg.num_hidden_layers, keep=keep, chunk_attend=keep,
+    )
+
+    logits_all = llama.lm_head(params["llm"], tcfg, d2.x)  # [B, M, V] fp32
+    am = jnp.argmax(logits_all, axis=-1).astype(jnp.int32)  # [B, M]
+
+    # longest accepted prefix: input i (i >= 1) is accepted iff it equals
+    # the argmax after input i-1 and everything before it was accepted
+    if m > 1:
+        matches = (tokens[:, 1:].astype(jnp.int32) == am[:, :-1]).astype(
+            jnp.int32
+        )
+        n_acc = 1 + jnp.sum(jnp.cumprod(matches, axis=1), axis=1)
+    else:
+        n_acc = jnp.ones((b,), jnp.int32)
+    # cut at the first EOS input: EOS is emitted, nothing persists past it
+    # (the sequential loop stops there)
+    is_eos = tokens == eos_token_id
+    first_eos = jnp.argmax(is_eos, axis=1).astype(jnp.int32)
+    n_acc = jnp.where(
+        jnp.any(is_eos, axis=1), jnp.minimum(n_acc, first_eos + 1), n_acc
+    )
+    # defensive: never advance past what the pre tier actually persisted
+    # (its capacity clamp only fires on an undersized cache; callers
+    # allocate max_new + M headroom)
+    n_acc = jnp.minimum(n_acc, d1.kept)
+    if active is not None:
+        n_acc = jnp.where(active, n_acc, 0)
+
+    # rollback-by-lengths to the accepted prefix
+    idx = jnp.maximum(n_acc - 1, 0)[:, None]
+    kept_cum = jnp.cumsum(keep.astype(jnp.int32), axis=1)  # [B, M]
+    kept_acc = jnp.where(
+        n_acc > 0, jnp.take_along_axis(kept_cum, idx, axis=1)[:, 0], 0
+    )
+    cache_pre = d1.cache._replace(length=d1.cache.length + n_acc[None, :])
+    cache_post = d2.cache._replace(
+        length=d2.cache.length + kept_acc[None, :]
+    )
+
+    last = jnp.take_along_axis(
+        logits_all, idx[..., None].astype(jnp.int32), axis=1
+    )[:, 0]  # [B, V] — logits after the last accepted token
+    next_tok = jnp.take_along_axis(am, idx, axis=1)[:, 0]
+    if active is not None:
+        last = jnp.where(active[:, None], last, state.last_logits)
+    state2 = GenState(
+        cache=TieredCache(pre=cache_pre, post=cache_post),
+        next_pos=state.next_pos + n_acc,
+        last_logits=last,
+        ring_base=state.ring_base,
+        ring_base_pre=state.ring_base_pre,
+    )
+    return state2, n_acc, next_tok
+
+
 # ---------------------------------------------------------------------------
 # Training forward (policy soft-mask path)
 # ---------------------------------------------------------------------------

@@ -552,6 +552,7 @@ def run_layers_extend(
     lo: int = 0,
     hi: Optional[int] = None,
     keep: Optional[jax.Array] = None,  # [B, M] bool — persist decision per token
+    chunk_attend: Optional[jax.Array] = None,  # [B, M] bool — see below
 ) -> DecodeResult:
     """Continuation ("chunked") prefill: extend an existing cache with M new
     tokens in one pass — the multi-round regime the reference handles
@@ -566,6 +567,14 @@ def run_layers_extend(
     otherwise JAX's silent OOB-scatter-drop would leave never-written slots
     inside the attended region. Lengths are advanced by the caller using the
     returned ``kept`` counts.
+
+    ``chunk_attend`` restricts which CHUNK tokens later chunk rows may
+    attend (each row always attends itself): row j sees chunk column i < j
+    only where ``chunk_attend[b, i]``. This is what makes a batched
+    speculative-verify pass equivalent to feeding the tokens one-by-one
+    through ``decode_step`` — there a dropped token's K/V exists only
+    during its own step, so later tokens never see it. The default (all
+    True) is the reference E5 instruct-chunk semantics.
     """
     hi = cfg.num_hidden_layers if hi is None else hi
     assert cache.num_layers == hi - lo
@@ -601,6 +610,12 @@ def run_layers_extend(
     )  # [B, max_len]
     rows = jnp.arange(m, dtype=jnp.int32)
     chunk_mask = rows[None, :, None] >= rows[None, None, :]  # [1, M, M]
+    if chunk_attend is not None:
+        self_cols = rows[None, :, None] == rows[None, None, :]
+        chunk_mask = chunk_mask & (
+            chunk_attend[:, None, :] | self_cols
+        )  # [B, M, M]
+        chunk_mask = jnp.broadcast_to(chunk_mask, (b, m, m))
     mask = jnp.concatenate(
         [
             jnp.broadcast_to(cache_mask[:, None, None, :], (b, 1, m, max_len)),
