@@ -635,47 +635,55 @@ def run_layers_extend(
         )
     layer_ids = jnp.arange(hi - lo, dtype=jnp.int32)
 
-    quantized = cache.quantized  # static — shapes the scan carry
+    quantized = cache.quantized  # static — shapes the scan xs/ys
 
-    def body(carry, li):
-        x, ck, cv, sk, sv = carry
+    # Cache buffers enter the layer scan as READ-ONLY xs (per-layer views);
+    # within one pass a layer's reads never depend on any layer's writes
+    # (attention uses old-cache ++ fresh chunk K/V), so every write moves
+    # OUTSIDE the scan into one batched scatter spanning the layer axis.
+    # Carrying the buffers instead cost a capacity-proportional copy per
+    # layer (the same pathology run_layers_decode's rebuild measured at
+    # ~18% of a 7B decode step) — this is the multi-round/speculative hot
+    # path, so it gets the same treatment.
+    def body(x, xs):
+        if quantized:
+            li, ck_l, cv_l, sk_l, sv_l = xs
+            k_old = dequantize_kv(ck_l, sk_l, x.dtype)
+            v_old = dequantize_kv(cv_l, sv_l, x.dtype)
+        else:
+            li, ck_l, cv_l = xs
+            k_old, v_old = ck_l.astype(x.dtype), cv_l.astype(x.dtype)
         lp = index_layer(layers, li + lo)
         h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
         q, k, v = _qkv(lp, cfg, h, positions)
-        ck_l = jax.lax.dynamic_index_in_dim(ck, li, axis=0, keepdims=False)
-        cv_l = jax.lax.dynamic_index_in_dim(cv, li, axis=0, keepdims=False)
-        if quantized:
-            sk_l = jax.lax.dynamic_index_in_dim(sk, li, axis=0, keepdims=False)
-            sv_l = jax.lax.dynamic_index_in_dim(sv, li, axis=0, keepdims=False)
-            k_old = dequantize_kv(ck_l, sk_l, q.dtype)
-            v_old = dequantize_kv(cv_l, sv_l, q.dtype)
-        else:
-            k_old, v_old = ck_l.astype(q.dtype), cv_l.astype(q.dtype)
         k_cat = jnp.concatenate([k_old, k], axis=1)
         v_cat = jnp.concatenate([v_old, v], axis=1)
         o = attend(q, k_cat, v_cat, mask=mask)
-        if quantized:
-            qk, ksc = quantize_kv(k)
-            qv, vsc = quantize_kv(v)
-            ck_l = ck_l.at[batch_idx, target].set(qk)
-            cv_l = cv_l.at[batch_idx, target].set(qv)
-            sk_l = sk_l.at[batch_idx, target].set(ksc)
-            sv_l = sv_l.at[batch_idx, target].set(vsc)
-            sk = jax.lax.dynamic_update_slice(sk, sk_l[None], (li, 0, 0, 0))
-            sv = jax.lax.dynamic_update_slice(sv, sv_l[None], (li, 0, 0, 0))
-        else:
-            ck_l = ck_l.at[batch_idx, target].set(k.astype(ck_l.dtype))
-            cv_l = cv_l.at[batch_idx, target].set(v.astype(cv_l.dtype))
-        ck = jax.lax.dynamic_update_slice(ck, ck_l[None], (li, 0, 0, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, cv_l[None], (li, 0, 0, 0, 0))
         x = x + lora_proj(lp, "o", o.reshape(b, m, -1))
         hh = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
         x = x + _mlp(lp, hh)
-        return (x, ck, cv, sk, sv), None
+        if quantized:
+            qk, ksc = quantize_kv(k)
+            qv, vsc = quantize_kv(v)
+            return x, (qk, qv, ksc, vsc)
+        return x, (k.astype(cache.k.dtype), v.astype(cache.v.dtype))
 
-    (x, ck, cv, sk, sv), _ = jax.lax.scan(
-        body, (x, cache.k, cache.v, cache.k_scale, cache.v_scale), layer_ids
-    )
+    if quantized:
+        x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
+            body, x,
+            (layer_ids, cache.k, cache.v, cache.k_scale, cache.v_scale),
+        )
+        ck = cache.k.at[:, batch_idx, target].set(k_new)
+        cv = cache.v.at[:, batch_idx, target].set(v_new)
+        sk = cache.k_scale.at[:, batch_idx, target].set(ks_new)
+        sv = cache.v_scale.at[:, batch_idx, target].set(vs_new)
+    else:
+        x, (k_new, v_new) = jax.lax.scan(
+            body, x, (layer_ids, cache.k, cache.v)
+        )
+        ck = cache.k.at[:, batch_idx, target].set(k_new)
+        cv = cache.v.at[:, batch_idx, target].set(v_new)
+        sk, sv = cache.k_scale, cache.v_scale
     return DecodeResult(
         x=x,
         cache=KVCache(k=ck, v=cv, length=cache.length, k_scale=sk, v_scale=sv),
