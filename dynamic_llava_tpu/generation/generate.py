@@ -219,6 +219,18 @@ class Generator:
             draft_k=draft_k, stats=stats,
         )
 
+    def generate_speculative_device(self, input_ids_list, pixel_values=None,
+                                    draft_k: int = 4,
+                                    stats: Optional[dict] = None):
+        """Speculative decode as ONE device program (in-graph prompt-lookup
+        drafting, lax.while_loop rounds, a single host fetch) — the tunnel-
+        friendly variant (see generation/speculative.py)."""
+        from .speculative import generate_speculative_device
+
+        return generate_speculative_device(
+            self, input_ids_list, pixel_values, draft_k=draft_k, stats=stats,
+        )
+
     def prefill_from_plan(self, plan: FusionPlan, pixel_values, max_new_tokens: int):
         cache_dtype = jnp.dtype(self.gen_cfg.cache_dtype)
         all_have_image = pixel_values is not None and bool(

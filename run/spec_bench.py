@@ -14,6 +14,10 @@ accepted draft is a step saved. Arms:
                    acceptance is a property of real checkpoints/content.
   * spec_lookup  — prompt-lookup draft on the same random weights
                    (expected ~1 token/round here; reported for honesty).
+  * spec_lookup_device — the whole-generation device program (in-graph
+                   prompt-lookup + lax.while_loop verify rounds): ONE host
+                   fetch per generation, so the tunnel RTT disappears from
+                   the loop entirely.
 
 Per-round host sync: the draft source is host-side, so each round pays
 the tunnel RTT (~29 ms); reported raw AND rtt-adjusted (device-side),
@@ -109,15 +113,25 @@ def measure(args) -> dict:
         pos = len(ctx)
         return full[pos: pos + n]
 
-    draft = oracle if args.arm == "spec_oracle" else "prompt_lookup"
+    if args.arm == "spec_lookup_device":
+        def run_once(st):
+            return gen.generate_speculative_device(
+                ids, imgs, draft_k=args.k, stats=st
+            )
+    else:
+        draft = oracle if args.arm == "spec_oracle" else "prompt_lookup"
+
+        def run_once(st):
+            return gen.generate_speculative(
+                ids, imgs, draft=draft, draft_k=args.k, stats=st
+            )
+
     stats = {}
-    out = gen.generate_speculative(ids, imgs, draft=draft, draft_k=args.k,
-                                   stats=stats)  # warm
+    out = run_once(stats)  # warm
     assert out[0] == ref, "speculative output diverged from greedy"
     stats = {}
     t0 = time.perf_counter()
-    out = gen.generate_speculative(ids, imgs, draft=draft, draft_k=args.k,
-                                   stats=stats)
+    out = run_once(stats)
     dt = time.perf_counter() - t0
     rtt = rtt_floor()
     host_sync_s = stats["rounds"] * rtt
@@ -141,7 +155,8 @@ def main():
     p.add_argument("--quant", default="int8")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--timeout", type=float, default=3000.0)
-    p.add_argument("--arm", choices=["plain", "spec_oracle", "spec_lookup"],
+    p.add_argument("--arm", choices=["plain", "spec_oracle", "spec_lookup",
+                                     "spec_lookup_device"],
                    default=None)
     args = p.parse_args()
     if args.quant in ("", "none"):
@@ -152,7 +167,8 @@ def main():
         return
 
     results = {}
-    for arm in ("plain", "spec_oracle", "spec_lookup"):
+    for arm in ("plain", "spec_oracle", "spec_lookup",
+                "spec_lookup_device"):
         cmd = [sys.executable, os.path.abspath(__file__), "--arm", arm]
         for key in ("model", "text", "new", "k", "quant"):
             cmd += ["--" + key, str(getattr(args, key))]

@@ -154,6 +154,78 @@ def test_speculative_oracle_draft_hits_mechanical_ceiling():
     assert stats["tokens_per_round"] == pytest.approx(max_new / stats["rounds"])
 
 
+def test_device_prompt_lookup_matches_host_semantics():
+    """The in-graph matcher proposes the same continuation as the host
+    version on representative contexts (longest n first, latest first)."""
+    import jax.numpy as jnp
+
+    from dynamic_llava_tpu.generation.speculative import device_prompt_lookup
+
+    cases = [
+        [1, 7, 8, 9, 10, 11, 5, 7, 8],
+        [2, 4, 2, 6, 2],
+        [1, 2, 3],
+        [9, 9, 9, 9, 9],
+    ]
+    k = 3
+    cap = 16
+    ctx = np.zeros((len(cases), cap), np.int32)
+    lens = np.zeros(len(cases), np.int32)
+    for i, c in enumerate(cases):
+        ctx[i, : len(c)] = c
+        lens[i] = len(c)
+    dev = np.asarray(device_prompt_lookup(
+        jnp.asarray(ctx), jnp.asarray(lens), k
+    ))
+    for i, c in enumerate(cases):
+        host = prompt_lookup_draft(c, k)
+        got = [int(t) for t in dev[i]]
+        # host returns a possibly-short list; device 0-pads
+        assert got[: len(host)] == host, (i, got, host)
+
+
+@pytest.mark.parametrize("case", [0, 2])
+def test_speculative_device_loop_matches_greedy(case):
+    """The whole-generation device program (in-graph drafting +
+    while_loop verify rounds, one host fetch) is token-exact vs the
+    chunked greedy path, sparse and dense, multimodal and ragged."""
+    overrides, with_image, k, bound = CASES[case]
+    cfg = _cfg(**overrides)
+    params = dynamic.init_llava_params(jax.random.key(60 + case), cfg)
+    rng = np.random.default_rng(70 + case)
+    ids_list, imgs = _batch(cfg, rng, (7, 11), with_image)
+    eos = cfg.text.vocab_size + 7
+    gen = Generator(params, cfg, GenerationConfig(
+        max_new_tokens=14, decode_chunk=4, eos_token_id=eos,
+        bound_kv_budget=bound, pad_multiple=1,
+    ))
+    ref = gen.generate(ids_list, imgs)
+    stats = {}
+    out = gen.generate_speculative_device(ids_list, imgs, draft_k=k,
+                                          stats=stats)
+    assert out == ref
+    assert 1 <= stats["rounds"] <= 2 * 14  # bounded loop actually looped
+
+
+def test_speculative_device_loop_eos():
+    """Reachable EOS: the device loop stops exactly where greedy does."""
+    cfg = _cfg()
+    params = dynamic.init_llava_params(jax.random.key(9), cfg)
+    rng = np.random.default_rng(9)
+    ids_list, _ = _batch(cfg, rng, (8, 6), False)
+    probe = Generator(params, cfg, GenerationConfig(
+        max_new_tokens=10, decode_chunk=4,
+        eos_token_id=cfg.text.vocab_size + 7, pad_multiple=1,
+    ))
+    eos = probe.generate(ids_list)[0][3]
+    gen = Generator(params, cfg, GenerationConfig(
+        max_new_tokens=10, decode_chunk=4, eos_token_id=eos, pad_multiple=1,
+    ))
+    ref = gen.generate(ids_list)
+    out = gen.generate_speculative_device(ids_list, draft_k=3)
+    assert out == ref
+
+
 def test_speculative_rejects_sampling_and_ring():
     cfg = _cfg()
     params = dynamic.init_llava_params(jax.random.key(1), cfg)
