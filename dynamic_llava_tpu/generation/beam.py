@@ -55,6 +55,10 @@ def beam_search(
 ) -> List[int]:
     """Single-prompt beam search: ``state`` must hold num_beams copies of the
     prompt (prefill with the plan repeated). Returns the best token list."""
+    if state.ring_base is not None:
+        # the decode below is drop-mode; silently running it on a
+        # ring-sized cache would force-drop everything past the window
+        raise ValueError("beam_search requires a drop-mode (non-ring) state")
     w = num_beams
     neg = jnp.float32(-1e9)
     # beam 0 starts live; the rest start muted so the first expansion picks

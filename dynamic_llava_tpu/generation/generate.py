@@ -90,6 +90,13 @@ class Generator:
     """
 
     def __init__(self, params, cfg: LlavaConfig, gen_cfg: GenerationConfig = GenerationConfig()):
+        if gen_cfg.kv_overflow not in ("drop", "ring"):
+            # every downstream check is '== "ring"': an unknown value would
+            # silently run drop-mode force-drops at a kv_window-sized cache
+            raise ValueError(
+                f"kv_overflow must be 'drop' or 'ring', got "
+                f"{gen_cfg.kv_overflow!r}"
+            )
         self.params = params
         self.cfg = cfg
         self.gen_cfg = gen_cfg

@@ -120,8 +120,18 @@ def _device_loop_fn(gen, m: int, ctx_cap: int, out_cap: int,
             state, ctx, ctx_len, out, n_out, done, rounds = c
             t_next = jnp.argmax(state.last_logits, axis=-1).astype(jnp.int32)
             if m > 1:
+                # draft from the context INCLUDING the committed token —
+                # matching the host loop's ctx + [t_next]; drafting without
+                # it misaligns every proposal by one position and collapses
+                # acceptance to ~1/round exactly in the quoting regime the
+                # feature targets. The scratch write is draft-only (the
+                # carried ctx is updated by the emit scatter below).
+                ctx_draft = ctx.at[
+                    jnp.arange(ctx.shape[0]),
+                    jnp.minimum(ctx_len, ctx_cap - 1),
+                ].set(t_next)
                 drafts = device_prompt_lookup(
-                    ctx, ctx_len, m - 1, max_ngram, min_ngram
+                    ctx_draft, ctx_len + 1, m - 1, max_ngram, min_ngram
                 )
                 tokens = jnp.concatenate([t_next[:, None], drafts], axis=1)
             else:
@@ -252,6 +262,14 @@ def generate_speculative(
     t_next = np.asarray(jnp.argmax(state.last_logits, axis=-1))
     n_rounds = 0
     while not done.all():
+        if n_rounds > gc.max_new_tokens:
+            # every active round must emit >= 1 token; only the defensive
+            # pre-tier clamp (an undersized cache) can zero acceptance —
+            # fail loudly instead of spinning
+            raise RuntimeError(
+                "speculative rounds exceeded max_new_tokens — cache "
+                "undersized for this generation?"
+            )
         toks = np.zeros((b, m), np.int32)
         for i in range(b):
             toks[i, 0] = t_next[i]

@@ -600,13 +600,14 @@ def run_layers_extend(
     batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
 
     # mask: [B, 1, M, max_len + M] — cache cols by length, chunk cols causal.
-    # The bound is clamped to the budget (max_len - 1): in the ring-overflow
-    # mode the persisted COUNT exceeds capacity after wrap, and an unclamped
-    # bound would attend the scratch slot's stale garbage.
+    # The bound is clamped to the capacity so a length that somehow exceeds
+    # it (a wrapped ring cache fed here directly — unsupported, the public
+    # APIs refuse ring+extend) can never index past the buffer; a tier that
+    # is exactly full (length0 == max_len) still attends its last slot.
     cache_cols = jnp.arange(max_len, dtype=jnp.int32)
     cache_mask = (
         cache_cols[None, :]
-        < jnp.minimum(length0, max_len - 1)[:, None]
+        < jnp.minimum(length0, max_len)[:, None]
     )  # [B, max_len]
     rows = jnp.arange(m, dtype=jnp.int32)
     chunk_mask = rows[None, :, None] >= rows[None, None, :]  # [1, M, M]

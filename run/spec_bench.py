@@ -56,13 +56,9 @@ def measure(args) -> dict:
 
     cfg = _cfg(args.model)
     params = build_bench_params(cfg, args.quant or None)
-    plan, imgs = build_inputs(cfg, 1, args.text)
-    ids = [np.asarray(plan.token_ids[0][: plan.valid_len[0]])]
-    # build_inputs plants an image sentinel; reconstruct the raw id list the
-    # Generator expects (sentinel form)
-    raw = np.asarray(plan.token_ids[0][: plan.valid_len[0]]).copy()
-    # the planner expanded the sentinel already; simplest faithful input:
-    # regenerate the pre-plan ids
+    # the Generator takes sentinel-form ids (pre-plan, -200 image slot);
+    # build_inputs is used only for its matching pixel tensor
+    _, imgs = build_inputs(cfg, 1, args.text)
     rng = np.random.default_rng(0)
     raw = rng.integers(3, cfg.text.vocab_size, size=(args.text,)).astype(
         np.int64
@@ -101,13 +97,18 @@ def measure(args) -> dict:
     # speculative arms need the true chain for the oracle (and a fair
     # same-weights reference); produce it once with the plain path
     ref = gen.generate(ids, imgs)[0]
-    full = [int(t) for t in raw if t >= 0] + ref  # sentinel dropped: ctx ids
-    # NOTE: context for drafts uses the PLANNED prompt (image tokens
-    # expanded); rebuild from the plan for position-faithful oracle lookup
-    prompt_planned = [
+    # the host loop's draft context is the PLANNED prompt (image tokens
+    # expanded) + emitted; rebuild the same plan for position-faithful
+    # oracle lookup
+    from dynamic_llava_tpu.multimodal.fusion import plan_batch
+
+    plan = plan_batch(
+        ids, cfg.num_image_tokens, max_length=cfg.model_max_length,
+        pad_multiple=gen.gen_cfg.pad_multiple,
+    )
+    full = [
         int(t) for t in np.asarray(plan.token_ids[0][: plan.valid_len[0]])
-    ]
-    full = prompt_planned + ref
+    ] + ref
 
     def oracle(ctx, n):
         pos = len(ctx)
