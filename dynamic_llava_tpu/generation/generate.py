@@ -215,7 +215,9 @@ class Generator:
 
     def generate_speculative(self, input_ids_list, pixel_values=None,
                              draft="prompt_lookup", draft_k: int = 4,
-                             stats: Optional[dict] = None):
+                             stats: Optional[dict] = None,
+                             on_tokens=None,
+                             max_new_tokens: Optional[int] = None):
         """Greedy generation via speculative verify rounds — identical
         tokens to ``generate``, fewer decode passes (see
         generation/speculative.py)."""
@@ -223,7 +225,8 @@ class Generator:
 
         return generate_speculative(
             self, input_ids_list, pixel_values, draft=draft,
-            draft_k=draft_k, stats=stats,
+            draft_k=draft_k, stats=stats, on_tokens=on_tokens,
+            max_new_tokens=max_new_tokens,
         )
 
     def generate_speculative_device(self, input_ids_list, pixel_values=None,

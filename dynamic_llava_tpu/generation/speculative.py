@@ -223,6 +223,8 @@ def generate_speculative(
     draft: Union[str, DraftFn] = "prompt_lookup",
     draft_k: int = 4,
     stats: Optional[dict] = None,  # filled with rounds/accepted counters
+    on_tokens=None,  # callback(sample_idx, fresh_token_ids) per round
+    max_new_tokens: Optional[int] = None,  # overrides gen_cfg (no recompile)
 ) -> List[List[int]]:
     """Greedy generation via speculative rounds; returns the same token
     lists ``Generator.generate`` would (EOS included), per sample.
@@ -231,6 +233,7 @@ def generate_speculative(
     rollback story is decode_step's). Each round costs one fused verify
     pass plus one host round-trip (the draft source lives host-side)."""
     gc = gen.gen_cfg
+    max_new = gc.max_new_tokens if max_new_tokens is None else max_new_tokens
     if gc.temperature > 0.0:
         raise ValueError("speculative decode is greedy-only (temperature 0)")
     if gc.kv_overflow != "drop":
@@ -247,9 +250,7 @@ def generate_speculative(
     )
     # + m headroom: the final round may persist up to m - 1 tokens past the
     # emission budget (truncated host-side, exactly like the chunked loop)
-    state, _ = gen.prefill_from_plan(
-        plan, pixel_values, gc.max_new_tokens + m
-    )
+    state, _ = gen.prefill_from_plan(plan, pixel_values, max_new + m)
     spec = gen._spec_fn(m)
 
     b = plan.batch
@@ -262,7 +263,7 @@ def generate_speculative(
     t_next = np.asarray(jnp.argmax(state.last_logits, axis=-1))
     n_rounds = 0
     while not done.all():
-        if n_rounds > gc.max_new_tokens:
+        if n_rounds > max_new:
             # every active round must emit >= 1 token; only the defensive
             # pre-tier clamp (an undersized cache) can zero acceptance —
             # fail loudly instead of spinning
@@ -285,17 +286,21 @@ def generate_speculative(
         for i in range(b):
             if done[i]:
                 continue
+            fresh: List[int] = []
             for j in range(int(n_acc[i])):
-                if len(out[i]) >= gc.max_new_tokens:
+                if len(out[i]) >= max_new:
                     done[i] = True
                     break
                 t = int(toks[i, j])
                 out[i].append(t)
+                fresh.append(t)
                 if t == gc.eos_token_id:
                     done[i] = True
                     break
-            if len(out[i]) >= gc.max_new_tokens:
+            if len(out[i]) >= max_new:
                 done[i] = True
+            if on_tokens is not None and fresh:
+                on_tokens(i, fresh)
     if stats is not None:
         stats["rounds"] = n_rounds
         stats["emitted"] = sum(len(o) for o in out)

@@ -49,6 +49,7 @@ class ModelWorker:
         limit_model_concurrency: int = 5,
         kv_overflow: str = "drop",
         kv_window=None,
+        spec_k: int = 0,
     ):
         from ..mm_utils import get_model_name_from_path
         from ..models.builder import load_pretrained_model
@@ -65,6 +66,10 @@ class ModelWorker:
         # does not apply)
         self.kv_overflow = kv_overflow
         self.kv_window = kv_window
+        # speculative decoding for greedy requests: each round verifies
+        # 1+spec_k candidates in one fused pass (generation/speculative.py);
+        # 0 = off. Sampling requests always take the chunked path.
+        self.spec_k = spec_k
         logger.info(f"Loading the model {self.model_name} on worker {worker_id} ...")
         (
             self.tokenizer,
@@ -199,6 +204,13 @@ class ModelWorker:
 
         from ..multimodal.fusion import plan_batch
 
+        if self.spec_k > 0 and temperature <= 0.0:
+            yield from self._stream_speculative(
+                gen, input_ids, pixels, max_new_tokens, prompt,
+                stop_str, stopping, tokenizer,
+            )
+            return
+
         gc = gen.gen_cfg
         chunk = max(1, min(gc.decode_chunk, max_new_tokens))
         n_chunks = -(-max_new_tokens // chunk)
@@ -257,6 +269,69 @@ class ModelWorker:
         if stop_str and text.endswith(stop_str):
             text = text[: -len(stop_str)]
         yield json.dumps({"text": prompt + text, "error_code": 0}).encode() + b"\0"
+
+    def _stream_speculative(self, gen, input_ids, pixels, max_new_tokens,
+                            prompt, stop_str, stopping, tokenizer):
+        """Greedy request on the speculative path: verify rounds run in a
+        worker thread (the reference's streamer-thread pattern,
+        model_worker.py:245-258) and accepted tokens stream out per round.
+        On a stop-string hit the HTTP stream ends; the bounded generation
+        thread drains in the background (same abort semantics as the
+        reference's streamer)."""
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue()
+
+        def on_tokens(_i, fresh):
+            q.put(fresh)
+
+        def run():
+            try:
+                gen.generate_speculative(
+                    [input_ids], pixels, draft="prompt_lookup",
+                    draft_k=self.spec_k, on_tokens=on_tokens,
+                    max_new_tokens=max_new_tokens,
+                )
+                q.put(None)
+            except Exception as e:  # surface as an error chunk, not a hang
+                q.put(e)
+
+        threading.Thread(target=run, daemon=True).start()
+
+        eos = tokenizer.eos_token_id
+        generated: list = []
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                raise item
+            done = False
+            for t in item:
+                if t == eos:
+                    done = True
+                    break
+                generated.append(t)
+                if stop_str or stopping is not None:
+                    text = tokenizer.decode(generated,
+                                            skip_special_tokens=True)
+                    if stop_str and text.endswith(stop_str):
+                        done = True  # suffix trimmed in the final yield
+                        break
+                    if stopping is not None and stopping(
+                        list(input_ids) + generated
+                    ):
+                        done = True
+                        break
+            text = tokenizer.decode(generated, skip_special_tokens=True)
+            if stop_str and text.endswith(stop_str):
+                text = text[: -len(stop_str)]
+            yield json.dumps(
+                {"text": prompt + text, "error_code": 0}
+            ).encode() + b"\0"
+            if done:
+                break
 
     def generate_stream_gate(self, params: dict):
         try:
@@ -321,6 +396,9 @@ def main(argv=None):
     parser.add_argument("--kv-window", type=int, default=None,
                         help="decode-region cache allocation per tier, in "
                              "tokens (the ring window size)")
+    parser.add_argument("--spec-k", type=int, default=0,
+                        help="speculative decoding: verify 1+k candidates "
+                             "per fused pass for greedy requests (0 = off)")
     args = parser.parse_args(argv)
 
     worker = ModelWorker(
@@ -334,6 +412,7 @@ def main(argv=None):
         args.limit_model_concurrency,
         kv_overflow=args.kv_overflow,
         kv_window=args.kv_window,
+        spec_k=args.spec_k,
     )
     from .http_compat import fastapi_available, worker_stdlib_app
 

@@ -208,6 +208,38 @@ def test_model_worker_ring_kv_flags(tmp_path):
     assert worker_text == w.tokenizer.decode(out, skip_special_tokens=True)
 
 
+def test_model_worker_speculative_stream_matches_plain(tmp_path):
+    """--spec-k routes greedy requests through the speculative verify
+    rounds; the streamed text must equal the plain chunked worker's."""
+    pytest.importorskip("torch")
+    pytest.importorskip("tokenizers")
+    from helpers import make_tiny_checkpoint
+
+    ckpt = make_tiny_checkpoint(str(tmp_path / "ckpt"))
+
+    from dynamic_llava_tpu.serve.model_worker import ModelWorker
+
+    plain = ModelWorker(
+        controller_addr="", worker_addr="", worker_id="p0", no_register=True,
+        model_path=ckpt, model_base=None, model_name="tiny-dynamic-llava",
+    )
+    spec = ModelWorker(
+        controller_addr="", worker_addr="", worker_id="s0", no_register=True,
+        model_path=ckpt, model_base=None, model_name="tiny-dynamic-llava",
+        spec_k=3,
+    )
+    req = {"prompt": "USER : Say hello . ASSISTANT :", "temperature": 0.0,
+           "max_new_tokens": 16}
+    ref = json.loads(list(plain.generate_stream(dict(req)))[-1].rstrip(b"\0"))
+    out = json.loads(list(spec.generate_stream(dict(req)))[-1].rstrip(b"\0"))
+    assert out["error_code"] == 0
+    assert out["text"] == ref["text"]
+
+    # sampling requests must bypass the speculative path (greedy-only)
+    chunks = list(spec.generate_stream(dict(req, temperature=0.8)))
+    assert json.loads(chunks[-1].rstrip(b"\0"))["error_code"] == 0
+
+
 def test_gradio_http_bot_flow(tmp_path, monkeypatch):
     """Exercise the web server's request flow (controller -> worker ->
     streamed state updates) without the gradio UI layer."""
