@@ -53,7 +53,8 @@ class BatchedWorker:
                  max_batch: int = 8, batch_window_ms: int = 30,
                  decode_chunk: int = 32,
                  controller_addr: str = "", worker_addr: str = "",
-                 model_name: Optional[str] = None, no_register: bool = True):
+                 model_name: Optional[str] = None, no_register: bool = True,
+                 spec_k: int = 0):
         from ..mm_utils import get_model_name_from_path
         from ..models.builder import load_pretrained_model
 
@@ -63,6 +64,9 @@ class BatchedWorker:
         self.max_batch = max_batch
         self.batch_window_ms = batch_window_ms
         self.decode_chunk = decode_chunk
+        # speculative verify rounds for GREEDY micro-batches (0 = off):
+        # ragged per-sample acceptance batches natively (active masks)
+        self.spec_k = spec_k
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.pending: List[Request] = []
@@ -239,7 +243,15 @@ class BatchedWorker:
                 ).encode() + b"\0"
             )
 
-        outs = gen.generate(ids_list, np.stack(pixels_list), on_chunk=on_chunk)
+        if self.spec_k > 0 and temp <= 0.0:
+            outs = gen.generate_speculative(
+                ids_list, np.stack(pixels_list), draft_k=self.spec_k,
+                on_tokens=on_chunk, max_new_tokens=max_new,
+            )
+        else:
+            outs = gen.generate(
+                ids_list, np.stack(pixels_list), on_chunk=on_chunk
+            )
         for req, out_ids in zip(batch, outs):
             req.push(
                 json.dumps(
@@ -309,6 +321,9 @@ def main(argv=None):
     parser.add_argument("--model-name", type=str, default=None)
     parser.add_argument("--max-batch", type=int, default=8)
     parser.add_argument("--no-register", action="store_true")
+    parser.add_argument("--spec-k", type=int, default=0,
+                        help="speculative decoding for greedy micro-batches"
+                             " (verify 1+k candidates per pass; 0 = off)")
     args = parser.parse_args(argv)
 
     worker = BatchedWorker(
@@ -316,6 +331,7 @@ def main(argv=None):
         controller_addr=args.controller_address,
         worker_addr=args.worker_address,
         model_name=args.model_name, no_register=args.no_register,
+        spec_k=args.spec_k,
     )
     uvicorn.run(build_app(worker), host=args.host, port=args.port)
 

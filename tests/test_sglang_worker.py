@@ -104,6 +104,48 @@ def test_concurrent_requests_micro_batch_and_match_solo(worker):
         assert chunks[-1]["text"] == solo
 
 
+def test_speculative_micro_batch_matches_plain(worker, tmp_path_factory):
+    """A spec_k worker's micro-batched greedy outputs equal the plain
+    worker's — ragged per-sample acceptance must not leak across the
+    batch (same checkpoint, same prompts)."""
+    from helpers import make_tiny_checkpoint
+
+    from dynamic_llava_tpu.serve.sglang_worker import BatchedWorker
+
+    ckpt = make_tiny_checkpoint(
+        str(tmp_path_factory.mktemp("sglang_spec") / "ckpt")
+    )
+    spec = BatchedWorker(
+        ckpt, max_batch=8, batch_window_ms=200, decode_chunk=4,
+        model_name="tiny-dynamic-llava", spec_k=3,
+    )
+    prompts = [
+        "USER : What is in the image ? ASSISTANT :",
+        "USER : Is there a dog ? ASSISTANT :",
+    ]
+    # plain references from the module-scope worker (identical weights:
+    # make_tiny_checkpoint is deterministic, torch.manual_seed(0))
+    refs = []
+    for p in prompts:
+        chunks, done = _collect(worker, {
+            "prompt": p, "temperature": 0.0, "max_new_tokens": 12,
+        })
+        assert done.wait(120)
+        refs.append(chunks[-1]["text"])
+
+    streams = [
+        _collect(spec, {
+            "prompt": p, "temperature": 0.0, "max_new_tokens": 12,
+        })
+        for p in prompts
+    ]
+    for (chunks, done), ref in zip(streams, refs):
+        assert done.wait(120)
+        assert all(c["error_code"] == 0 for c in chunks)
+        assert chunks[-1]["text"] == ref
+    assert spec.last_batch_size == 2  # both rode one speculative batch
+
+
 def test_mixed_temperature_requests_split_batches(worker):
     """Requests with different temperatures must not share a batch."""
     p = "USER : hello world ASSISTANT :"
