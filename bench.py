@@ -100,9 +100,10 @@ def _cfg(name: str):
 
 
 def _side(model, batch, new_tokens=512, text_len=64, quant=None,
-          cache_dtype=None):
+          cache_dtype=None, spec_k=None):
     return dict(model=model, batch=batch, new_tokens=new_tokens,
-                text_len=text_len, quant=quant, cache_dtype=cache_dtype)
+                text_len=text_len, quant=quant, cache_dtype=cache_dtype,
+                spec_k=spec_k)
 
 
 # Arms in run order = headline priority order. Each arm is a sparse side vs
@@ -157,6 +158,20 @@ ARMS = {
         "dense": _side("1b", 32, cache_dtype="int8"),
         "metric": "serving_decode_tok_s_sparse_1b_proxy_b32_int8kv",
     },
+    # Speculative decoding at the B=1 int8 latency point: the sparse side
+    # runs the whole-generation device loop (in-graph prompt-lookup
+    # drafting, one host fetch); the dense side is the plain int8 B=1 run.
+    # Lowest-priority arm (two fresh sides) — it only runs with leftover
+    # budget. Random bench weights emit repetitive text (flatters prompt
+    # lookup); tokens_per_round is reported alongside, and
+    # run/spec_bench.py holds the oracle ceiling + matched baselines.
+    "7b_spec": {
+        "sparse": _side("7b", 1, new_tokens=256, quant="int8", spec_k=7),
+        "dense": _side("7b", 1, new_tokens=256, quant="int8"),
+        "metric": "decode_tok_s_sparse_7b_int8_b1_speck7",
+        "note": "speculative device loop vs plain B=1; acceptance on "
+                "random weights is content-flattered — see tokens_per_round",
+    },
     # Same sparse side (cached) vs the LIKE-QUANT dense counterpart at its
     # own measured ceiling (int4+fp8 B=32 rejected at compile, 16.13 GB).
     "7b_ladder_likequant": {
@@ -170,7 +185,8 @@ ARMS = {
     },
 }
 ARM_ORDER = ("7b_best", "7b_batch", "serving", "7b", "serving_fp8",
-             "7b_ladder", "7b_ladder_likequant", "serving_int8kv")
+             "7b_ladder", "7b_ladder_likequant", "serving_int8kv",
+             "7b_spec")
 
 # kept for back-compat with run/ scripts that import CONFIGS
 CONFIGS = {
@@ -241,8 +257,16 @@ def run_child():
     # dominant traffic of the serving regime (opt-in; quality is a
     # per-deployment call, logit cosine ~0.997 on the parity model)
     cache_dtype = jnp.dtype(os.environ.get("BENCH_CACHE_DTYPE", "bfloat16"))
-    r = bench_config(params, c, batch=batch, text_len=text_len,
-                     new_tokens=new_tokens, cache_dtype=cache_dtype)
+    spec_k = int(os.environ.get("BENCH_SPEC_K", "0"))
+    if spec_k > 0:
+        from dynamic_llava_tpu.eval.bench import bench_spec_config
+
+        r = bench_spec_config(params, c, batch=batch, text_len=text_len,
+                              new_tokens=new_tokens, spec_k=spec_k,
+                              cache_dtype=cache_dtype)
+    else:
+        r = bench_config(params, c, batch=batch, text_len=text_len,
+                         new_tokens=new_tokens, cache_dtype=cache_dtype)
     print("BENCH_RESULT " + json.dumps(r))
 
 
@@ -283,10 +307,13 @@ class _FullRun:
         )
         env.pop("BENCH_QUANT", None)
         env.pop("BENCH_CACHE_DTYPE", None)
+        env.pop("BENCH_SPEC_K", None)
         if spec.get("quant"):
             env["BENCH_QUANT"] = spec["quant"]
         if spec.get("cache_dtype"):
             env["BENCH_CACHE_DTYPE"] = spec["cache_dtype"]
+        if spec.get("spec_k"):
+            env["BENCH_SPEC_K"] = str(spec["spec_k"])
         import subprocess
 
         timeout = max(min(self.remaining() - 20, 3400), 60)

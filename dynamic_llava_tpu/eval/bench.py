@@ -187,6 +187,89 @@ def bench_config(
     }
 
 
+def bench_spec_config(
+    params,
+    cfg: LlavaConfig,
+    batch: int = 1,
+    text_len: int = 64,
+    new_tokens: int = 256,
+    spec_k: int = 7,
+    prefill_reps: int = 5,
+    cache_dtype=jnp.bfloat16,
+) -> Dict[str, float]:
+    """Speculative-decode side: the whole-generation DEVICE loop (in-graph
+    prompt-lookup drafting + while_loop verify rounds — one host fetch, so
+    the tunnel RTT is out of the measurement by construction). Same result
+    schema as ``bench_config`` so the arm harness can ratio them.
+
+    Honesty note: random bench weights emit repetitive text, which FLATTERS
+    prompt lookup; ``tokens_per_round`` is reported so the acceptance
+    behind the tok/s is visible (run/spec_bench.py adds the oracle ceiling
+    and the plain baseline at matched config)."""
+    from ..generation.generate import GenerationConfig, Generator
+    from ..generation.speculative import _device_loop_fn
+
+    rng = np.random.default_rng(0)
+    ids = []
+    for _ in range(batch):
+        raw = rng.integers(3, cfg.text.vocab_size, size=(text_len,)).astype(
+            np.int64
+        )
+        raw[min(8, text_len - 2)] = -200
+        ids.append(raw)
+    imgs = jnp.asarray(
+        rng.normal(
+            size=(batch, cfg.vision.image_size, cfg.vision.image_size, 3)
+        ), jnp.bfloat16,
+    )
+    gen = Generator(params, cfg, GenerationConfig(
+        max_new_tokens=new_tokens, eos_token_id=cfg.text.vocab_size + 7,
+        cache_dtype=str(jnp.dtype(cache_dtype)),
+    ))
+    m = spec_k + 1
+    plan = plan_batch(
+        ids, cfg.num_image_tokens, max_length=cfg.model_max_length,
+        pad_multiple=gen.gen_cfg.pad_multiple,
+    )
+
+    state = None
+    times = []
+    for _rep in range(prefill_reps):
+        t0 = time.perf_counter()
+        state, _ = gen.prefill_from_plan(plan, imgs, new_tokens + m)
+        _ = float(state.last_logits[0, 0])
+        times.append(time.perf_counter() - t0)
+    ttft_ms = float(np.median(times) * 1e3)
+
+    ctx_cap = plan.seq_len + new_tokens + m
+    ctx = np.zeros((batch, ctx_cap), np.int32)
+    ctx[:, : plan.seq_len] = np.asarray(plan.token_ids, np.int32)
+    loop = _device_loop_fn(gen, m, ctx_cap, new_tokens, 3, 1)
+
+    def run(state):
+        out, n_out, rounds = loop(
+            gen.params, state, jnp.asarray(ctx),
+            jnp.asarray(plan.valid_len, jnp.int32), jnp.int32(new_tokens),
+        )
+        return int(np.asarray(n_out).sum()), int(rounds)
+
+    emitted, rounds = run(state)  # warm (includes the final host fetch)
+    state, _ = gen.prefill_from_plan(plan, imgs, new_tokens + m)
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    emitted, rounds = run(state)
+    dt = time.perf_counter() - t0
+    return {
+        "ttft_ms": ttft_ms,
+        "ttft_device_ms": ttft_ms,  # loop-internal; RTT paid once per gen
+        "decode_tok_s": emitted / dt,
+        "spec_k": spec_k,
+        "spec_rounds": rounds,
+        "tokens_per_round": round(emitted / max(rounds, 1), 3),
+        "prefill_len": float(np.mean(np.asarray(plan.valid_len))),
+    }
+
+
 def dense_config(cfg: LlavaConfig) -> LlavaConfig:
     return dataclasses.replace(
         cfg,
