@@ -87,7 +87,15 @@ def eval_model(args):
         pixels = process_images(
             [image], image_processor, runtime.cfg
         )
-        out_ids = gen.generate([input_ids], pixels)[0]
+        if args.spec_k > 0 and args.temperature <= 0.0:
+            # speculative verify rounds: identical greedy answers, fewer
+            # decode passes (real checkpoints quote questions/options, the
+            # prompt-lookup regime) — generation/speculative.py
+            out_ids = gen.generate_speculative(
+                [input_ids], pixels, draft_k=args.spec_k
+            )[0]
+        else:
+            out_ids = gen.generate([input_ids], pixels)[0]
         if out_ids and out_ids[-1] == tokenizer.eos_token_id:
             out_ids = out_ids[:-1]
         outputs = tokenizer.decode(out_ids, skip_special_tokens=True).strip()
@@ -122,6 +130,9 @@ def main(argv=None):
     parser.add_argument("--top_p", type=float, default=None)
     parser.add_argument("--num_beams", type=int, default=1)
     parser.add_argument("--max_new_tokens", type=int, default=128)
+    parser.add_argument("--spec_k", type=int, default=0,
+                        help="speculative decoding for greedy runs: verify "
+                             "1+k candidates per fused pass (0 = off)")
     eval_model(parser.parse_args(argv))
 
 

@@ -52,6 +52,19 @@ def test_vqa_loader_cli_to_pope_scorer(tmp_path):
     assert len(recs) == 2
     assert all(isinstance(r["text"], str) for r in recs)
 
+    # --spec_k routes through the speculative verify rounds and must
+    # produce the identical greedy answers
+    answers_spec = tmp_path / "answers_spec.jsonl"
+    model_vqa_loader.main([
+        "--model-path", ckpt,
+        "--image-folder", str(img_dir),
+        "--question-file", str(qfile),
+        "--answers-file", str(answers_spec),
+        "--temperature", "0", "--max_new_tokens", "4", "--spec_k", "3",
+    ])
+    recs_spec = [json.loads(l) for l in open(answers_spec)]
+    assert [r["text"] for r in recs_spec] == [r["text"] for r in recs]
+
     # score through the POPE pipeline
     from dynamic_llava_tpu.eval.eval_pope import eval_pope
 
