@@ -89,3 +89,51 @@ def test_sharded_prefill_decode_matches_single():
     np.testing.assert_array_equal(
         np.asarray(got.cache.post.length), np.asarray(ref.cache.post.length)
     )
+
+
+def test_sharded_speculative_step_matches_single():
+    """The fused speculative verify (extend + acceptance + rollback) under
+    the (data=2, fsdp=2, tensor=2) mesh: acceptance counts must be
+    IDENTICAL to the single-device run (integer decisions tolerate no
+    sharding drift) and logits must agree numerically."""
+    cfg = _cfg()
+    params = dynamic.init_llava_params(jax.random.key(1), cfg)
+    rng = np.random.default_rng(1)
+    ids = []
+    for L in (12, 10):
+        row = rng.integers(3, cfg.text.vocab_size, size=(L,)).astype(np.int64)
+        row[2] = -200
+        ids.append(row)
+    plan = plan_batch(ids, cfg.num_image_tokens)
+    imgs = rng.normal(size=(2, 56, 56, 3)).astype(np.float32)
+    args = _prefill_args(cfg, plan, imgs)
+    toks = jnp.asarray(
+        rng.integers(3, cfg.text.vocab_size, size=(3, 2, 4)), jnp.int32
+    )  # 3 rounds of [B=2, M=4] candidates
+
+    def run(p):
+        cache = init_tiered_cache(cfg.text, 2, plan.batch, 64, 48, jnp.float32)
+        state, _ = dynamic.prefill(p, cfg, *args, cache)
+        accs = []
+        for r in range(toks.shape[0]):
+            state, n_acc, _ = dynamic.decode_speculative_step(
+                p, cfg, toks[r], state, eos_token_id=999
+            )
+            accs.append(np.asarray(n_acc))
+        return state, np.stack(accs)
+
+    ref, ref_acc = run(params)
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    specs = llava_param_specs(cfg, params)
+    sharded = shard_params(jax.tree.map(jnp.copy, params), mesh, specs)
+    with mesh:
+        got, got_acc = run(sharded)
+
+    np.testing.assert_array_equal(got_acc, ref_acc)
+    np.testing.assert_allclose(
+        np.asarray(got.last_logits), np.asarray(ref.last_logits),
+        atol=5e-4, rtol=5e-3,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.cache.post.length), np.asarray(ref.cache.post.length)
+    )
