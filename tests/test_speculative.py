@@ -53,24 +53,26 @@ def test_prompt_lookup_draft_unit():
 
 
 CASES = [
-    # (sparse overrides, with_image, draft_k, bound)
-    (dict(), False, 4, True),
+    # (sparse overrides, with_image, draft_k, bound, cache_dtype)
+    (dict(), False, 4, True, "bfloat16"),
     (dict(use_output_text_predictor=True, use_text_predictor=True,
-          output_text_keep_rate=0.5), False, 3, True),
+          output_text_keep_rate=0.5), False, 3, True, "int8"),
     (dict(use_vision_predictor=True, vision_keep_rate=0.25,
           use_output_text_predictor=True, use_text_predictor=True), True, 5,
-     True),
+     True, "float8_e4m3fn"),
     (dict(use_output_text_predictor=True, use_text_predictor=True), False, 2,
-     False),
+     False, "bfloat16"),
 ]
 
 
 @pytest.mark.parametrize("case", range(len(CASES)))
 def test_speculative_matches_greedy_any_draft(case):
     """Adversarial-random AND prompt-lookup drafts, sparse configs on/off,
-    multimodal and text-only, ragged B=2 — token-exact vs the chunked
-    greedy path (itself fuzz-pinned to the per-token path)."""
-    overrides, with_image, k, bound = CASES[case]
+    multimodal and text-only, ragged B=2, KV storage dtypes (the quantized
+    extend writes scale side-buffers through the chunk_attend mask path) —
+    token-exact vs the chunked greedy path (itself fuzz-pinned to the
+    per-token path)."""
+    overrides, with_image, k, bound, cache_dtype = CASES[case]
     cfg = _cfg(**overrides)
     params = dynamic.init_llava_params(jax.random.key(40 + case), cfg)
     rng = np.random.default_rng(50 + case)
@@ -78,7 +80,7 @@ def test_speculative_matches_greedy_any_draft(case):
     eos = cfg.text.vocab_size + 7  # unreachable: run the full budget
     gen = Generator(params, cfg, GenerationConfig(
         max_new_tokens=14, decode_chunk=4, eos_token_id=eos,
-        bound_kv_budget=bound, pad_multiple=1,
+        bound_kv_budget=bound, pad_multiple=1, cache_dtype=cache_dtype,
     ))
     ref = gen.generate(ids_list, imgs)
 
@@ -189,7 +191,7 @@ def test_speculative_device_loop_matches_greedy(case):
     """The whole-generation device program (in-graph drafting +
     while_loop verify rounds, one host fetch) is token-exact vs the
     chunked greedy path, sparse and dense, multimodal and ragged."""
-    overrides, with_image, k, bound = CASES[case]
+    overrides, with_image, k, bound, cache_dtype = CASES[case]
     cfg = _cfg(**overrides)
     params = dynamic.init_llava_params(jax.random.key(60 + case), cfg)
     rng = np.random.default_rng(70 + case)
@@ -197,7 +199,7 @@ def test_speculative_device_loop_matches_greedy(case):
     eos = cfg.text.vocab_size + 7
     gen = Generator(params, cfg, GenerationConfig(
         max_new_tokens=14, decode_chunk=4, eos_token_id=eos,
-        bound_kv_budget=bound, pad_multiple=1,
+        bound_kv_budget=bound, pad_multiple=1, cache_dtype=cache_dtype,
     ))
     ref = gen.generate(ids_list, imgs)
     stats = {}
