@@ -320,6 +320,8 @@ def main(argv=None):
     parser.add_argument("--model-base", type=str, default=None)
     parser.add_argument("--model-name", type=str, default=None)
     parser.add_argument("--max-batch", type=int, default=8)
+    parser.add_argument("--batch-window-ms", type=int, default=30,
+                        help="micro-batch collection window")
     parser.add_argument("--no-register", action="store_true")
     parser.add_argument("--spec-k", type=int, default=0,
                         help="speculative decoding for greedy micro-batches"
@@ -328,6 +330,7 @@ def main(argv=None):
 
     worker = BatchedWorker(
         args.model_path, args.model_base, args.max_batch,
+        batch_window_ms=args.batch_window_ms,
         controller_addr=args.controller_address,
         worker_addr=args.worker_address,
         model_name=args.model_name, no_register=args.no_register,
