@@ -153,9 +153,14 @@ class Controller:
             yield (json.dumps({"text": server_error_msg, "error_code": 2}) + "\0").encode()
             return
         try:
+            # (connect, read): connect failures fail fast like the
+            # reference's flat 15 s, but the read window tolerates a JAX
+            # worker's first-compile stall (20-40 s on a real chip; the
+            # reference's eager-torch workers never pause that long).
+            # Queue waits are covered by the worker's keep-alive acks.
             response = requests.post(
                 worker_addr + "/worker_generate_stream",
-                json=params, stream=True, timeout=15,
+                json=params, stream=True, timeout=(15, 120),
             )
             for chunk in response.iter_lines(decode_unicode=False, delimiter=b"\0"):
                 if chunk:

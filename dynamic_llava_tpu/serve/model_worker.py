@@ -78,6 +78,9 @@ class ModelWorker:
             self.context_len,
         ) = load_pretrained_model(model_path, model_base, self.model_name)
         self.semaphore = None
+        # thread-level concurrency gate for the stdlib server path (the
+        # FastAPI path uses the asyncio `semaphore` above)
+        self._gate = threading.Semaphore(limit_model_concurrency)
         self.global_counter = 0
         # Generators (and their jitted prefill/decode-chunk programs) are
         # cached per sampling config: rebuilding one per request would
@@ -334,8 +337,21 @@ class ModelWorker:
                 break
 
     def generate_stream_gate(self, params: dict):
+        """Stdlib-server entry: gates concurrency with a thread semaphore
+        (the FastAPI app uses an asyncio semaphore instead,
+        build_app/acquire below) and yields protocol-valid keep-alive acks
+        while QUEUED, so an upstream proxy's read timeout never fires on a
+        busy worker — the queue-wait silence behind the reference's
+        'network error due to high traffic' failure mode."""
         try:
-            yield from self.generate_stream(params)
+            while not self._gate.acquire(timeout=5.0):
+                yield json.dumps(
+                    {"text": params.get("prompt", ""), "error_code": 0}
+                ).encode() + b"\0"
+            try:
+                yield from self.generate_stream(params)
+            finally:
+                self._gate.release()
         except ValueError as e:
             logger.error(f"Caught ValueError: {e}")
             yield json.dumps({"text": server_error_msg, "error_code": 1}).encode() + b"\0"

@@ -281,3 +281,101 @@ def test_gradio_http_bot_flow(tmp_path, monkeypatch):
 
     csrv.shutdown()
     wsrv.shutdown()
+
+
+@pytest.mark.slow
+def test_serving_soak_concurrent_mixed_load(tmp_path):
+    """Soak: a REAL model worker behind the live controller proxy serving 8
+    concurrent requests with mixed sampling configs — every stream
+    completes without an error chunk, greedy streams are reproducible, and
+    the worker stays registered afterwards (semaphore/queue hygiene)."""
+    pytest.importorskip("torch")
+    pytest.importorskip("tokenizers")
+    import threading
+
+    import requests
+
+    from helpers import make_tiny_checkpoint
+
+    from dynamic_llava_tpu.serve.controller import Controller
+    from dynamic_llava_tpu.serve.http_compat import (
+        controller_stdlib_app,
+        worker_stdlib_app,
+    )
+    from dynamic_llava_tpu.serve.model_worker import ModelWorker
+
+    ckpt = make_tiny_checkpoint(str(tmp_path / "ckpt"))
+    cport, wport = _free_port(), _free_port()
+    ctrl = Controller("shortest_queue")
+    csrv = controller_stdlib_app(ctrl, "127.0.0.1", cport)
+    csrv.serve(background=True)
+    worker = ModelWorker(
+        controller_addr=f"http://127.0.0.1:{cport}",
+        worker_addr=f"http://127.0.0.1:{wport}",
+        worker_id="soak0", no_register=True,
+        model_path=ckpt, model_base=None, model_name="tiny-dynamic-llava",
+        limit_model_concurrency=3,
+    )
+    wsrv = worker_stdlib_app(worker, "127.0.0.1", wport)
+    wsrv.serve(background=True)
+    time.sleep(0.3)
+    base = f"http://127.0.0.1:{cport}"
+    r = requests.post(base + "/register_worker", json={
+        "worker_name": f"http://127.0.0.1:{wport}",
+        "check_heart_beat": True,
+        "worker_status": {"model_names": ["tiny-dynamic-llava"],
+                          "speed": 1, "queue_length": 0},
+    })
+    assert r.status_code == 200
+
+    reqs = [
+        {"model": "tiny-dynamic-llava",
+         "prompt": f"USER : question number {i} ? ASSISTANT :",
+         "temperature": 0.0 if i % 2 == 0 else 0.7,
+         "top_p": 1.0 if i % 3 else 0.9,
+         "max_new_tokens": 8 + (i % 3) * 4}
+        for i in range(8)
+    ]
+    results: list = [None] * len(reqs)
+
+    def run(i):
+        resp = requests.post(base + "/worker_generate_stream",
+                             json=reqs[i], stream=True, timeout=300)
+        chunks = [json.loads(c.decode()) for c in
+                  resp.iter_lines(decode_unicode=False, delimiter=b"\0")
+                  if c]
+        results[i] = chunks
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+        assert not t.is_alive(), "a stream never completed"
+    for i, chunks in enumerate(results):
+        assert chunks, f"request {i} got no chunks"
+        assert all(c["error_code"] == 0 for c in chunks), chunks[-1]
+        assert chunks[-1]["text"].startswith(reqs[i]["prompt"])
+
+    # greedy determinism under load: rerun request 0 solo and compare
+    solo: list = [None]
+
+    def run_solo():
+        resp = requests.post(base + "/worker_generate_stream",
+                             json=reqs[0], stream=True, timeout=300)
+        solo[0] = [json.loads(c.decode()) for c in
+                   resp.iter_lines(decode_unicode=False, delimiter=b"\0")
+                   if c]
+
+    t = threading.Thread(target=run_solo)
+    t.start()
+    t.join(timeout=300)
+    assert solo[0][-1]["text"] == results[0][-1]["text"]
+
+    # worker still registered + responsive
+    hb = requests.post(base + "/receive_heart_beat", json={
+        "worker_name": f"http://127.0.0.1:{wport}", "queue_length": 0,
+    }).json()
+    assert hb["exist"]
+    csrv.shutdown()
+    wsrv.shutdown()
