@@ -10,19 +10,17 @@ the queue is the concurrency mechanism, same as the reference's GPU worker).
 from __future__ import annotations
 
 import argparse
-import asyncio
 import base64
 import json
 import threading
 import time
 import uuid
-from functools import partial
 from io import BytesIO
 
 import numpy as np
 
 from ..constants import WORKER_HEART_BEAT_INTERVAL
-from ..utils import build_logger, pretty_print_semaphore, server_error_msg
+from ..utils import build_logger, server_error_msg
 
 GB = 1 << 30
 
@@ -50,10 +48,15 @@ class ModelWorker:
         kv_overflow: str = "drop",
         kv_window=None,
         spec_k: int = 0,
+        max_queue_wait_s: float = 300.0,
     ):
         from ..mm_utils import get_model_name_from_path
         from ..models.builder import load_pretrained_model
 
+        if spec_k > 0 and kv_overflow != "drop":
+            # fail at startup, not with an opaque error chunk on every
+            # greedy request (speculative decode is drop-mode only)
+            raise ValueError("--spec-k requires --kv-overflow drop")
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = worker_id
@@ -77,10 +80,17 @@ class ModelWorker:
             self.image_processor,
             self.context_len,
         ) = load_pretrained_model(model_path, model_base, self.model_name)
-        self.semaphore = None
-        # thread-level concurrency gate for the stdlib server path (the
-        # FastAPI path uses the asyncio `semaphore` above)
+        # ONE concurrency mechanism for both server flavors (FastAPI
+        # streams the same sync generator from its threadpool): a thread
+        # semaphore acquired INSIDE the streamed body, so queued requests
+        # can emit keep-alive acks instead of going silent until an
+        # upstream proxy read-timeout kills them. Explicit counters feed
+        # get_queue_length (threading.Semaphore exposes no waiter count).
         self._gate = threading.Semaphore(limit_model_concurrency)
+        self._counts_lock = threading.Lock()
+        self._waiting = 0
+        self._active = 0
+        self.max_queue_wait_s = max_queue_wait_s
         self.global_counter = 0
         # Generators (and their jitted prefill/decode-chunk programs) are
         # cached per sampling config: rebuilding one per request would
@@ -112,7 +122,7 @@ class ModelWorker:
 
         logger.info(
             f"Send heart beat. Models: {[self.model_name]}. "
-            f"Semaphore: {pretty_print_semaphore(self.semaphore)}. "
+            f"active: {self._active}. waiting: {self._waiting}. "
             f"global_counter: {self.global_counter}"
         )
         url = self.controller_addr + "/receive_heart_beat"
@@ -135,14 +145,10 @@ class ModelWorker:
             self.register_to_controller()
 
     def get_queue_length(self) -> int:
-        if self.semaphore is None:
-            return 0
-        waiters = self.semaphore._waiters
-        return (
-            self.limit_model_concurrency
-            - self.semaphore._value
-            + (len(waiters) if waiters is not None else 0)
-        )
+        # reference semantics (running + waiting): shortest-queue dispatch
+        # must see gate-queued requests, not just in-flight ones
+        with self._counts_lock:
+            return self._active + self._waiting
 
     def get_status(self) -> dict:
         return {
@@ -200,94 +206,72 @@ class ModelWorker:
             )
             self._generators[gen_key] = gen
 
-        # decode runs on device in decode_chunk-step scans (the same fast
-        # path bench.py measures); the host syncs once per chunk to stream
-        # partial text and resolve stop conditions
+        # decode runs on device (chunked scans, or speculative verify
+        # rounds for greedy requests when --spec-k is set); both producers
+        # feed ONE shared stop/stream consumer so the two paths cannot
+        # drift semantically
+        if self.spec_k > 0 and temperature <= 0.0:
+            batches = self._spec_batches(gen, input_ids, pixels,
+                                         max_new_tokens)
+        else:
+            batches = self._chunked_batches(gen, input_ids, pixels,
+                                            max_new_tokens)
+        yield from self._stream_from_batches(
+            batches, prompt=prompt, stop_str=stop_str, stopping=stopping,
+            input_ids=input_ids, tokenizer=tokenizer,
+            max_new_tokens=max_new_tokens,
+        )
+
+    def _chunked_batches(self, gen, input_ids, pixels, max_new_tokens):
+        """Producer: the pipelined on-device chunked decode (the same fast
+        path bench.py measures — one host sync per chunk, chunk k+1
+        dispatched before chunk k's tokens are fetched). Yields raw token
+        batches; closing the generator stops dispatching device work."""
         import jax
 
         from ..multimodal.fusion import plan_batch
-
-        if self.spec_k > 0 and temperature <= 0.0:
-            yield from self._stream_speculative(
-                gen, input_ids, pixels, max_new_tokens, prompt,
-                stop_str, stopping, tokenizer,
-            )
-            return
 
         gc = gen.gen_cfg
         chunk = max(1, min(gc.decode_chunk, max_new_tokens))
         n_chunks = -(-max_new_tokens // chunk)
         plan = plan_batch(
             [input_ids],
-            runtime.cfg.num_image_tokens if pixels is not None else 0,
-            max_length=runtime.cfg.model_max_length,
+            self.runtime.cfg.num_image_tokens if pixels is not None else 0,
+            max_length=self.runtime.cfg.model_max_length,
             pad_multiple=gc.pad_multiple,
         )
         state, _ = gen.prefill_from_plan(plan, pixels, n_chunks * chunk)
         decode_chunk = gen._decode_chunk_fn(chunk)
         rng = jax.random.key(self.global_counter)
-
-        generated: list = []
-        eos = tokenizer.eos_token_id
-        done = False
-        # pipelined: dispatch chunk k+1 before fetching chunk k's tokens so
-        # the host round-trip + detokenize overlap device compute (same
-        # pattern as Generator.generate)
         rng, krng = jax.random.split(rng)
         state, toks = decode_chunk(gen.params, state, krng)
         for ci in range(n_chunks):
             if ci + 1 < n_chunks:
                 rng, krng = jax.random.split(rng)
                 next_state, next_toks = decode_chunk(gen.params, state, krng)
-            toks_np = np.asarray(toks)[:, 0]  # one host sync per chunk
-            text = None
-            for t in toks_np:
-                t = int(t)
-                if t == eos or len(generated) >= max_new_tokens:
-                    done = True
-                    break
-                generated.append(t)
-                if stop_str or stopping is not None:
-                    text = tokenizer.decode(generated, skip_special_tokens=True)
-                    if stop_str and text.endswith(stop_str):
-                        generated_text = text[: -len(stop_str)]
-                        yield json.dumps(
-                            {"text": prompt + generated_text, "error_code": 0}
-                        ).encode() + b"\0"
-                        done = True
-                        break
-                    if stopping is not None and stopping(list(input_ids) + generated):
-                        done = True
-                        break
-            if not done:
-                text = tokenizer.decode(generated, skip_special_tokens=True)
-                yield json.dumps(
-                    {"text": prompt + text, "error_code": 0}
-                ).encode() + b"\0"
-            if done:
-                break
+            yield [int(t) for t in np.asarray(toks)[:, 0]]
             if ci + 1 < n_chunks:
                 state, toks = next_state, next_toks
-        text = tokenizer.decode(generated, skip_special_tokens=True)
-        if stop_str and text.endswith(stop_str):
-            text = text[: -len(stop_str)]
-        yield json.dumps({"text": prompt + text, "error_code": 0}).encode() + b"\0"
 
-    def _stream_speculative(self, gen, input_ids, pixels, max_new_tokens,
-                            prompt, stop_str, stopping, tokenizer):
-        """Greedy request on the speculative path: verify rounds run in a
-        worker thread (the reference's streamer-thread pattern,
-        model_worker.py:245-258) and accepted tokens stream out per round.
-        On a stop-string hit the HTTP stream ends; the bounded generation
-        thread drains in the background (same abort semantics as the
-        reference's streamer)."""
+    def _spec_batches(self, gen, input_ids, pixels, max_new_tokens):
+        """Producer: speculative verify rounds in a worker thread (the
+        reference's streamer-thread pattern, model_worker.py:245-258),
+        yielding each round's ACCEPTED tokens. Closing the generator (stop
+        hit / client disconnect) cancels the thread at round granularity —
+        it must not keep dispatching device passes while the concurrency
+        slot is handed to the next request."""
         import queue
-        import threading
 
         q: queue.Queue = queue.Queue()
+        cancel = threading.Event()
+
+        class _Abort(Exception):
+            pass
 
         def on_tokens(_i, fresh):
-            q.put(fresh)
+            if cancel.is_set():
+                raise _Abort()
+            q.put(list(fresh))
 
         def run():
             try:
@@ -297,61 +281,113 @@ class ModelWorker:
                     max_new_tokens=max_new_tokens,
                 )
                 q.put(None)
+            except _Abort:
+                q.put(None)
             except Exception as e:  # surface as an error chunk, not a hang
                 q.put(e)
 
-        threading.Thread(target=run, daemon=True).start()
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            cancel.set()
+            # the gate slot is released only after this generator closes,
+            # so the join keeps abandoned generations off the chip while a
+            # new request starts (HBM headroom at 7B is <2.3 GB)
+            t.join(timeout=120)
+            if t.is_alive():
+                logger.error("speculative generation thread did not stop")
 
-        eos = tokenizer.eos_token_id
+    def _stream_from_batches(self, batches, *, prompt, stop_str, stopping,
+                             input_ids, tokenizer, max_new_tokens):
+        """Shared stop/stream consumer: accumulates fresh token batches,
+        handles EOS / token budget / stop-string suffix /
+        KeywordsStoppingCriteria, re-decodes the accumulated ids per batch
+        (tokenizers do not detokenize incrementally in general), and
+        always finishes with the trimmed full text."""
         generated: list = []
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, Exception):
-                raise item
-            done = False
-            for t in item:
-                if t == eos:
-                    done = True
-                    break
-                generated.append(t)
-                if stop_str or stopping is not None:
-                    text = tokenizer.decode(generated,
-                                            skip_special_tokens=True)
-                    if stop_str and text.endswith(stop_str):
-                        done = True  # suffix trimmed in the final yield
-                        break
-                    if stopping is not None and stopping(
-                        list(input_ids) + generated
-                    ):
+        eos = tokenizer.eos_token_id
+        done = False
+        try:
+            for batch in batches:
+                for t in batch:
+                    t = int(t)
+                    if t == eos or len(generated) >= max_new_tokens:
                         done = True
                         break
-            text = tokenizer.decode(generated, skip_special_tokens=True)
-            if stop_str and text.endswith(stop_str):
-                text = text[: -len(stop_str)]
-            yield json.dumps(
-                {"text": prompt + text, "error_code": 0}
-            ).encode() + b"\0"
-            if done:
-                break
+                    generated.append(t)
+                    if stop_str or stopping is not None:
+                        text = tokenizer.decode(
+                            generated, skip_special_tokens=True
+                        )
+                        if stop_str and text.endswith(stop_str):
+                            done = True  # trimmed in the final yield
+                            break
+                        if stopping is not None and stopping(
+                            list(input_ids) + generated
+                        ):
+                            done = True
+                            break
+                if done:
+                    break
+                text = tokenizer.decode(generated, skip_special_tokens=True)
+                yield json.dumps(
+                    {"text": prompt + text, "error_code": 0}
+                ).encode() + b"\0"
+        finally:
+            close = getattr(batches, "close", None)
+            if close is not None:
+                close()  # stop the producer's device work
+        text = tokenizer.decode(generated, skip_special_tokens=True)
+        if stop_str and text.endswith(stop_str):
+            text = text[: -len(stop_str)]
+        yield json.dumps({"text": prompt + text, "error_code": 0}).encode() + b"\0"
 
     def generate_stream_gate(self, params: dict):
-        """Stdlib-server entry: gates concurrency with a thread semaphore
-        (the FastAPI app uses an asyncio semaphore instead,
-        build_app/acquire below) and yields protocol-valid keep-alive acks
-        while QUEUED, so an upstream proxy's read timeout never fires on a
-        busy worker — the queue-wait silence behind the reference's
-        'network error due to high traffic' failure mode."""
+        """Request entry for BOTH server flavors: acquires the concurrency
+        gate inside the streamed body, yielding protocol-valid keep-alive
+        acks while QUEUED (so an upstream proxy's read timeout never fires
+        on a busy worker — the silence behind the reference's 'network
+        error due to high traffic' failure mode), and failing loudly after
+        ``max_queue_wait_s`` so a wedged worker cannot string clients
+        along forever."""
         try:
-            while not self._gate.acquire(timeout=5.0):
-                yield json.dumps(
-                    {"text": params.get("prompt", ""), "error_code": 0}
-                ).encode() + b"\0"
+            waited = 0.0
+            with self._counts_lock:
+                self._waiting += 1
+            try:
+                while not self._gate.acquire(timeout=5.0):
+                    waited += 5.0
+                    if waited >= self.max_queue_wait_s:
+                        logger.error(
+                            f"request queued past {self.max_queue_wait_s}s; "
+                            "rejecting"
+                        )
+                        yield json.dumps(
+                            {"text": server_error_msg, "error_code": 1}
+                        ).encode() + b"\0"
+                        return
+                    yield json.dumps(
+                        {"text": params.get("prompt", ""), "error_code": 0}
+                    ).encode() + b"\0"
+            finally:
+                with self._counts_lock:
+                    self._waiting -= 1
+            with self._counts_lock:
+                self._active += 1
             try:
                 yield from self.generate_stream(params)
             finally:
                 self._gate.release()
+                with self._counts_lock:
+                    self._active -= 1
         except ValueError as e:
             logger.error(f"Caught ValueError: {e}")
             yield json.dumps({"text": server_error_msg, "error_code": 1}).encode() + b"\0"
@@ -361,30 +397,21 @@ class ModelWorker:
 
 
 def build_app(worker: ModelWorker):
-    from fastapi import BackgroundTasks, FastAPI, Request
+    from fastapi import FastAPI, Request
     from fastapi.responses import StreamingResponse
 
     app = FastAPI()
-
-    def release_model_semaphore(fn=None):
-        worker.semaphore.release()
-        if fn is not None:
-            fn()
 
     @app.post("/worker_generate_stream")
     async def generate_stream(request: Request):
         worker.global_counter += 1
         params = await request.json()
-        if worker.semaphore is None:
-            worker.semaphore = asyncio.Semaphore(worker.limit_model_concurrency)
-        await worker.semaphore.acquire()
-        worker.send_heart_beat()
-        generator = worker.generate_stream_gate(params)
-        background_tasks = BackgroundTasks()
-        background_tasks.add_task(
-            partial(release_model_semaphore, fn=worker.send_heart_beat)
-        )
-        return StreamingResponse(generator, background=background_tasks)
+        # the sync generator runs in starlette's threadpool; the gate (and
+        # its queued-request keep-alives) lives inside generate_stream_gate
+        # so queue waits stream bytes on this path too — an asyncio
+        # semaphore acquired before returning the response went silent for
+        # the whole wait
+        return StreamingResponse(worker.generate_stream_gate(params))
 
     @app.post("/worker_get_status")
     async def get_status(request: Request):
@@ -415,6 +442,10 @@ def main(argv=None):
     parser.add_argument("--spec-k", type=int, default=0,
                         help="speculative decoding: verify 1+k candidates "
                              "per fused pass for greedy requests (0 = off)")
+    parser.add_argument("--max-queue-wait", type=float, default=300.0,
+                        help="seconds a request may wait for a concurrency "
+                             "slot (keep-alives stream meanwhile) before "
+                             "it is rejected with an error chunk")
     args = parser.parse_args(argv)
 
     worker = ModelWorker(
@@ -429,6 +460,7 @@ def main(argv=None):
         kv_overflow=args.kv_overflow,
         kv_window=args.kv_window,
         spec_k=args.spec_k,
+        max_queue_wait_s=args.max_queue_wait,
     )
     from .http_compat import fastapi_available, worker_stdlib_app
 

@@ -263,11 +263,20 @@ class BatchedWorker:
     # -- serving adapters ------------------------------------------------
 
     def generate_stream_gate(self, params: dict):
-        """Synchronous chunk generator (stdlib http_compat contract)."""
+        """Synchronous chunk generator (stdlib http_compat contract).
+        Yields protocol-valid keep-alive acks while the request waits in
+        the batch queue or the batch stalls in a JIT compile, so an
+        upstream proxy's read timeout never fires on a busy worker."""
         q: "queue.Queue[Optional[bytes]]" = queue.Queue()
         self.submit(Request(params, q.put))
         while True:
-            chunk = q.get()
+            try:
+                chunk = q.get(timeout=5.0)
+            except queue.Empty:
+                yield json.dumps(
+                    {"text": params.get("prompt", ""), "error_code": 0}
+                ).encode() + b"\0"
+                continue
             if chunk is None:
                 return
             yield chunk
