@@ -111,14 +111,17 @@ def _q4_kernel_enabled() -> bool:
 
 def _q4_unpack_mode() -> str:
     """Nibble-unpack domain inside the int4 GEMV kernel: "i32" (widen to
-    32-bit lanes, the measured round-3 default) or "i8" (8-bit-lane
-    shifts — a quarter of the VPU register traffic per byte; candidate
-    for the 62%-of-roofline gap, pending real-chip measurement).
-    Override with DYNAMIC_LLAVA_Q4_UNPACK=i8."""
+    32-bit lanes and shift) or "mask" (i8 ANDs + exact bf16 arithmetic —
+    peak register traffic stays at 8/16-bit lanes; the earlier i8-shift
+    idea is unimplementable: Mosaic legalizes no i8/i16 shifts on v5e).
+    Override with DYNAMIC_LLAVA_Q4_UNPACK=mask; "i8" is accepted as an
+    alias for "mask"."""
     import os
 
     mode = os.environ.get("DYNAMIC_LLAVA_Q4_UNPACK", "i32")
-    return mode if mode in ("i32", "i8") else "i32"
+    if mode == "i8":
+        return "mask"
+    return mode if mode in ("i32", "mask") else "i32"
 
 
 def matmul_q8(x: jax.Array, leaf: dict, out_fp32: bool = False) -> jax.Array:

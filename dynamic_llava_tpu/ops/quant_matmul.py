@@ -87,13 +87,22 @@ def _q4_gemv_kernel(
             # ONE HBM read of the block serves both nibble halves; nibble
             # values (±7) are exact in bf16, so the dots ride the MXU at
             # bf16 rate with fp32 accumulation
-            if unpack == "i8":
-                # int8-domain shifts: sign extension via (p<<4)>>4 stays in
-                # 8-bit lanes — a quarter of the i32 path's VPU register
-                # traffic per byte (knob DYNAMIC_LLAVA_Q4_UNPACK=i8)
+            if unpack == "mask":
+                # Narrow-lane unpack (knob DYNAMIC_LLAVA_Q4_UNPACK=mask).
+                # Mosaic on v5e legalizes ONLY bitwise AND on 8-bit lanes
+                # (i8/i16 shifts, i8 mul/cmp, and even bf16 compares all
+                # fail to legalize — each probed on hardware; the first
+                # i8-shift form of this variant died on arith.shli). So
+                # everything is ANDs + exact bf16 arithmetic: a 4-bit
+                # two's-complement value is (p & 7) − (p & 8), and the
+                # high nibble arrives ×16 via (p & 0xF0) with one exact
+                # power-of-two rescale. Peak register traffic stays at
+                # 8/16-bit widths vs the i32 path's 4×-widened shifts.
                 p8 = bufs[slot]
-                lo = (jnp.left_shift(p8, 4) >> 4).astype(jnp.bfloat16)
-                hi = (p8 >> 4).astype(jnp.bfloat16)
+                lo = (p8 & jnp.int8(7)).astype(jnp.bfloat16) - \
+                    (p8 & jnp.int8(8)).astype(jnp.bfloat16)
+                hi = (p8 & jnp.int8(-16)).astype(jnp.bfloat16) * \
+                    jnp.bfloat16(0.0625)
             else:
                 p = bufs[slot].astype(jnp.int32)
                 lo = (jnp.left_shift(p, 28) >> 28).astype(jnp.bfloat16)

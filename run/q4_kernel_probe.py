@@ -9,13 +9,21 @@ defaults:
 
   xla   — the split-half einsum pair (reads every packed byte twice)
   i32   — production kernel, int32-domain unpack (round-3 default)
-  i8    — int8-domain unpack (DYNAMIC_LLAVA_Q4_UNPACK=i8 candidate)
+  mask  — i8-AND + bf16-arithmetic unpack (DYNAMIC_LLAVA_Q4_UNPACK=mask;
+          the only narrow-lane form Mosaic legalizes on v5e)
   split — packed-column split (vocab-width lm_head at rows > 48 only)
+
+A variant that fails to compile is recorded as ``<name>_error`` instead of
+killing the probe (the original i8-shift variant died exactly that way).
 
 Timing follows the repo lore (CLAUDE.md): warm up with a REAL host fetch
 (block_until_ready returns early through the tunnel), then chain N
 dependent calls inside one jit and fetch ONE scalar. Per-call time is the
-chain time / N; the ~29 ms tunnel round-trip is paid once.
+SLOPE between a short and a long chain — (t(4N) − t(N)) / 3N — which
+cancels every constant offset (the ~29 ms tunnel RTT, dispatch, the final
+sync). Naive chain-time/N at N=200 bakes ~145 us of RTT into every call,
+the same order as the kernels themselves — the first version of this
+probe did exactly that and its "rooflines" were fiction.
 
   python run/q4_kernel_probe.py            # 7B shapes, rows 1 and 24
   python run/q4_kernel_probe.py --rows 64  # includes the lm_head split
@@ -130,14 +138,14 @@ def main():
                 variants["xla"] = xla_split
             interp = args.interpret
             if q4_kernel_supported(p.shape, rows):
-                for mode in ("i32", "i8"):
+                for mode in ("i32", "mask"):
                     variants[mode] = functools.partial(
                         lambda x, p, s, m: matmul_q4_pallas(
                             x, p, s, unpack=m, interpret=interp
                         ), m=mode,
                     )
             if q4_col_split_parts(p.shape, rows):
-                for mode in ("i32", "i8"):
+                for mode in ("i32", "mask"):
                     variants["split_" + mode] = functools.partial(
                         lambda x, p, s, m: matmul_q4_col_split(
                             x, p, s, unpack=m, interpret=interp
@@ -153,12 +161,21 @@ def main():
                 ),
             }
             for vname, fn in variants.items():
-                run = _chain(fn, args.iters)
-                float(run(x, p, s))  # compile + REAL warmup fetch (lore)
-                t0 = time.perf_counter()
-                float(run(x, p, s))
-                dt = time.perf_counter() - t0
-                us = dt / args.iters * 1e6
+                try:
+                    run_n = _chain(fn, args.iters)
+                    run_4n = _chain(fn, 4 * args.iters)
+                    # compile + REAL warmup fetches (lore)
+                    float(run_n(x, p, s))
+                    float(run_4n(x, p, s))
+                    t0 = time.perf_counter()
+                    float(run_n(x, p, s))
+                    t1 = time.perf_counter()
+                    float(run_4n(x, p, s))
+                    t2 = time.perf_counter()
+                except Exception as e:
+                    rec[vname + "_error"] = str(e).split("\n")[0][:160]
+                    continue
+                us = ((t2 - t1) - (t1 - t0)) / (3 * args.iters) * 1e6
                 rec[vname + "_us"] = round(us, 1)
                 rec[vname + "_roofline"] = round(floor_us / us, 3)
             print(json.dumps(rec), flush=True)

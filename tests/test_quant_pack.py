@@ -131,10 +131,11 @@ def test_matmul_q4_pallas_matches_xla_oracle():
     assert got3.shape == (2, 5, out)
 
 
-def test_matmul_q4_pallas_i8_unpack_matches_i32():
-    """The int8-domain nibble unpack (DYNAMIC_LLAVA_Q4_UNPACK=i8) must be
-    bit-identical to the i32 path: both sign-extend the low nibble and
-    arithmetic-shift the high one, only the lane width differs."""
+def test_matmul_q4_pallas_mask_unpack_matches_i32():
+    """The narrow-lane nibble unpack (DYNAMIC_LLAVA_Q4_UNPACK=mask: i8
+    ANDs + exact bf16 rescale/select — the only i8 op Mosaic legalizes
+    on v5e is AND) must be bit-identical to the i32 shift path: both
+    recover the same ±7 nibble values exactly."""
     from dynamic_llava_tpu.ops.quant import quantize_weight
     from dynamic_llava_tpu.ops.quant_matmul import matmul_q4_pallas
 
@@ -148,7 +149,7 @@ def test_matmul_q4_pallas_i8_unpack_matches_i32():
             x, leaf["q4"], leaf["s"], interpret=True, unpack="i32"
         )
         b = matmul_q4_pallas(
-            x, leaf["q4"], leaf["s"], interpret=True, unpack="i8"
+            x, leaf["q4"], leaf["s"], interpret=True, unpack="mask"
         )
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
