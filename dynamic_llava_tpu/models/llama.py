@@ -188,15 +188,20 @@ def _can_fuse(lp, names) -> bool:
 
 
 def _quant_group(lp, names, x: jax.Array):
-    """Grouped int8 streaming GEMV over projections sharing ``x`` (one
-    kernel launch per group — see ops.quant.matmul_q8_group). None on any
-    non-int8 member or non-decode row count; callers fall back to
-    per-name lora_proj."""
-    if not any(isinstance(lp.get(n), dict) and "q" in lp[n] for n in names):
-        return None  # fast path: no import when nothing is int8
-    from ..ops.quant import matmul_q8_group
+    """Grouped quantized streaming GEMV over projections sharing ``x``
+    (one kernel launch per group — ops.quant.matmul_q8_group /
+    matmul_q4_group). None on mixed/non-quantized members or non-decode
+    row counts; callers fall back to per-name lora_proj."""
+    leaves = [lp.get(n) for n in names]
+    if all(isinstance(l, dict) and "q" in l for l in leaves):
+        from ..ops.quant import matmul_q8_group
 
-    return matmul_q8_group(x, lp, names)
+        return matmul_q8_group(x, lp, names)
+    if all(isinstance(l, dict) and "q4" in l for l in leaves):
+        from ..ops.quant import matmul_q4_group
+
+        return matmul_q4_group(x, lp, names)
+    return None
 
 
 def _lora_delta(lp, name: str, x: jax.Array):

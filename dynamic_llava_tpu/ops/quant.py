@@ -256,6 +256,41 @@ def matmul_q8_group(x: jax.Array, lp: dict, names, out_fp32: bool = False):
     )
 
 
+def matmul_q4_group(x: jax.Array, lp: dict, names, out_fp32: bool = False):
+    """Grouped streaming GEMV over several PACKED-int4 leaves sharing
+    ``x`` — the int4 twin of ``matmul_q8_group``. Slope-timed probing
+    (late r3) showed the B=1 int4 decode step's gap to its single-read
+    floor is ~10 us per-program overhead x 7 launches/layer; grouping
+    q/k/v and gate/up cuts that to 4 launches. Returns outputs in
+    ``names`` order, or None when not kernel-eligible."""
+    leaves = [lp.get(n) for n in names]
+    if not all(
+        isinstance(l, dict) and "q4" in l and "s" in l for l in leaves
+    ):
+        return None
+    if not _q4_kernel_enabled():
+        return None
+    li = leaves[0].get("li")
+    if any(l.get("li") is not li for l in leaves[1:]):
+        return None
+    from .quant_matmul import _q4_multi_plan, matmul_q4_multi_pallas
+
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    packs = [l["q4"] for l in leaves]
+    k_dim = packs[0].shape[-2]
+    if any(p.shape[-2] != k_dim for p in packs):
+        return None
+    if _q4_multi_plan(k_dim, [p.shape[-1] for p in packs], rows) is None:
+        return None
+    return matmul_q4_multi_pallas(
+        x, tuple(packs), tuple(l["s"] for l in leaves),
+        layer=0 if li is None else li, out_fp32=out_fp32,
+        unpack=_q4_unpack_mode(),
+    )
+
+
 def dequantize_weight(leaf, dtype=jnp.bfloat16) -> jax.Array:
     if isinstance(leaf, dict) and "q4" in leaf:
         return unpack_int4(leaf["q4"]).astype(dtype) * leaf["s"].astype(dtype)

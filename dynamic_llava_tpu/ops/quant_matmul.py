@@ -54,6 +54,7 @@ def _q4_gemv_kernel(
     *,
     tk: int,
     unpack: str = "i32",
+    depth: int = 2,
 ):
     _, k_dim, half = p_hbm.shape
     n_chunks = k_dim // tk
@@ -73,40 +74,38 @@ def _q4_gemv_kernel(
                 sems.at[slot],
             )
 
-        dma(0, 0).start()
+        # depth-deep DMA pipeline: chunks whose compute is trivial (GEMV
+        # rows) stall on DMA issue-to-completion latency every chunk at
+        # depth 2 — the measured 49%-roofline `down` matmul (43 chunks at
+        # tk=256, the largest 128-multiple divisor of K=11008) is the
+        # worst case. Keeping depth-1 copies in flight hides the issue
+        # latency behind the previous chunks' transfers.
+        for j in range(min(depth - 1, n_chunks)):
+            dma(j, j).start()
 
         def loop(i, acc):
             acc_lo, acc_hi = acc
-            slot = jax.lax.rem(i, 2)
+            slot = jax.lax.rem(i, depth)
 
-            @pl.when(i + 1 < n_chunks)
+            @pl.when(i + depth - 1 < n_chunks)
             def _():
-                dma(jax.lax.rem(i + 1, 2), i + 1).start()
+                dma(jax.lax.rem(i + depth - 1, depth), i + depth - 1).start()
 
             dma(slot, i).wait()
             # ONE HBM read of the block serves both nibble halves; nibble
             # values (±7) are exact in bf16, so the dots ride the MXU at
             # bf16 rate with fp32 accumulation
-            if unpack == "mask":
-                # Narrow-lane unpack (knob DYNAMIC_LLAVA_Q4_UNPACK=mask).
-                # Mosaic on v5e legalizes ONLY bitwise AND on 8-bit lanes
-                # (i8/i16 shifts, i8 mul/cmp, and even bf16 compares all
-                # fail to legalize — each probed on hardware; the first
-                # i8-shift form of this variant died on arith.shli). So
-                # everything is ANDs + exact bf16 arithmetic: a 4-bit
-                # two's-complement value is (p & 7) − (p & 8), and the
-                # high nibble arrives ×16 via (p & 0xF0) with one exact
-                # power-of-two rescale. Peak register traffic stays at
-                # 8/16-bit widths vs the i32 path's 4×-widened shifts.
-                p8 = bufs[slot]
-                lo = (p8 & jnp.int8(7)).astype(jnp.bfloat16) - \
-                    (p8 & jnp.int8(8)).astype(jnp.bfloat16)
-                hi = (p8 & jnp.int8(-16)).astype(jnp.bfloat16) * \
-                    jnp.bfloat16(0.0625)
-            else:
-                p = bufs[slot].astype(jnp.int32)
-                lo = (jnp.left_shift(p, 28) >> 28).astype(jnp.bfloat16)
-                hi = (p >> 4).astype(jnp.bfloat16)
+            # "mask" = narrow-lane unpack (knob DYNAMIC_LLAVA_Q4_UNPACK):
+            # Mosaic on v5e legalizes ONLY bitwise AND on 8-bit lanes
+            # (i8/i16 shifts, i8 mul/cmp, and even bf16 compares all fail
+            # to legalize — each probed on hardware; the original i8-shift
+            # form died on arith.shli), so it is ANDs + exact bf16
+            # arithmetic: (p & 7) − (p & 8) for the low nibble,
+            # (p & 0xF0)·2⁻⁴ for the high one. Measured 20–60% SLOWER
+            # than the default i32 widen+shift on every decode shape
+            # (slope-timed, docs/BENCHMARKS.md) — kept as the tested
+            # negative result / fallback, not a speed knob.
+            lo, hi = _q4_unpack_block(bufs[slot], unpack)
             xb = x_ref[:, pl.ds(i * tk, tk)].astype(jnp.bfloat16)
             acc_lo = acc_lo + jnp.dot(
                 xb, lo, preferred_element_type=jnp.float32
@@ -129,8 +128,8 @@ def _q4_gemv_kernel(
 
     pl.run_scoped(
         body,
-        bufs=pltpu.VMEM((2, tk, half), jnp.int8),
-        sems=pltpu.SemaphoreType.DMA((2,)),
+        bufs=pltpu.VMEM((depth, tk, half), jnp.int8),
+        sems=pltpu.SemaphoreType.DMA((depth,)),
     )
 
 
@@ -172,8 +171,18 @@ def matmul_q4_pallas(
 
     out_dtype = jnp.float32 if out_fp32 else x.dtype
     li = jnp.asarray(layer, jnp.int32).reshape(1)
+    # opportunistic deeper DMA pipeline: upgrade 2 -> 4 slots when the two
+    # extra windows still fit the scoped-VMEM stack (the dispatch boundary
+    # in q4_kernel_supported stays at depth 2, so coverage is unchanged)
+    depth = 2
+    if k_dim // tk > 4:
+        stack4 = 2 * tm * half * 4 * 2 + 4 * tk * half + tm * k_dim * 2
+        if stack4 <= 12 * (1 << 20):
+            depth = 4
     ylo, yhi = pl.pallas_call(
-        functools.partial(_q4_gemv_kernel, tk=tk, unpack=unpack),
+        functools.partial(
+            _q4_gemv_kernel, tk=tk, unpack=unpack, depth=depth
+        ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -205,6 +214,7 @@ def _q8_gemv_kernel(
     y_ref,  # [TM, N] out
     *,
     tk: int,
+    depth: int = 2,
 ):
     _, k_dim, n = q_hbm.shape
     n_chunks = k_dim // tk
@@ -222,14 +232,19 @@ def _q8_gemv_kernel(
                 sems.at[slot],
             )
 
-        dma(0, 0).start()
+        # depth-deep DMA pipeline (see the int4 kernel): GEMV-row compute
+        # is too small to cover DMA issue latency at depth 2 when the
+        # chunk count is high
+        for c in range(min(depth - 1, n_chunks)):
+            dma(c, c).start()
 
         def loop(i, acc):
-            slot = jax.lax.rem(i, 2)
+            slot = jax.lax.rem(i, depth)
 
-            @pl.when(i + 1 < n_chunks)
+            @pl.when(i + depth - 1 < n_chunks)
             def _():
-                dma(jax.lax.rem(i + 1, 2), i + 1).start()
+                dma(jax.lax.rem(i + depth - 1, depth),
+                    i + depth - 1).start()
 
             dma(slot, i).wait()
             # int8 values (±127) are exact in bf16: the dot rides the MXU
@@ -245,8 +260,8 @@ def _q8_gemv_kernel(
 
     pl.run_scoped(
         body,
-        bufs=pltpu.VMEM((2, tk, n), jnp.int8),
-        sems=pltpu.SemaphoreType.DMA((2,)),
+        bufs=pltpu.VMEM((depth, tk, n), jnp.int8),
+        sems=pltpu.SemaphoreType.DMA((depth,)),
     )
 
 
@@ -303,8 +318,17 @@ def matmul_q8_pallas(
 
     out_dtype = jnp.float32 if out_fp32 else x.dtype
     li = jnp.asarray(layer, jnp.int32).reshape(1)
+    # opportunistic deeper DMA pipeline (see matmul_q4_pallas; measured
+    # NEUTRAL at 7B-int4 B=1 — the per-chunk cost is scalar-unit
+    # wait/issue work, not unhidden latency — kept for high-chunk-count
+    # shapes where two in-flight copies cannot cover a transfer hiccup)
+    depth = 2
+    if k_dim // tk > 4:
+        stack4 = 3 * tm * n * 4 + 4 * tk * n + tm * k_dim * 2
+        if stack4 <= 12 * (1 << 20):
+            depth = 4
     y = pl.pallas_call(
-        functools.partial(_q8_gemv_kernel, tk=tk),
+        functools.partial(_q8_gemv_kernel, tk=tk, depth=depth),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -332,7 +356,8 @@ def q8_kernel_supported(q_shape, rows: int) -> bool:
     return _q8_plan(k_dim, n, rows) is not None
 
 
-def _q8_gemv_multi_kernel(li_ref, x_ref, *refs, tk: int, n_w: int):
+def _q8_gemv_multi_kernel(li_ref, x_ref, *refs, tk: int, n_w: int,
+                          depth: int = 2):
     """n_w weights sharing the SAME activations and contraction dim,
     streamed in ONE program: refs = s_0..s_{n-1} (VMEM), p_0..p_{n-1}
     (HBM), y_0..y_{n-1} (VMEM out). The per-program fixed overhead
@@ -359,16 +384,18 @@ def _q8_gemv_multi_kernel(li_ref, x_ref, *refs, tk: int, n_w: int):
                 sems[j].at[slot],
             )
 
-        for j in range(n_w):
-            dma(j, 0, 0).start()
+        for c in range(min(depth - 1, n_chunks)):
+            for j in range(n_w):
+                dma(j, c, c).start()
 
         def loop(i, accs):
-            slot = jax.lax.rem(i, 2)
+            slot = jax.lax.rem(i, depth)
 
-            @pl.when(i + 1 < n_chunks)
+            @pl.when(i + depth - 1 < n_chunks)
             def _():
                 for j in range(n_w):
-                    dma(j, jax.lax.rem(i + 1, 2), i + 1).start()
+                    dma(j, jax.lax.rem(i + depth - 1, depth),
+                        i + depth - 1).start()
 
             xb = x_ref[:, pl.ds(i * tk, tk)].astype(jnp.bfloat16)
             new = []
@@ -393,8 +420,8 @@ def _q8_gemv_multi_kernel(li_ref, x_ref, *refs, tk: int, n_w: int):
 
     pl.run_scoped(
         body,
-        *[pltpu.VMEM((2, tk, p.shape[-1]), jnp.int8) for p in p_refs],
-        *[pltpu.SemaphoreType.DMA((2,)) for _ in p_refs],
+        *[pltpu.VMEM((depth, tk, p.shape[-1]), jnp.int8) for p in p_refs],
+        *[pltpu.SemaphoreType.DMA((depth,)) for _ in p_refs],
     )
 
 
@@ -445,8 +472,17 @@ def matmul_q8_multi_pallas(
     out_dtype = jnp.float32 if out_fp32 else x.dtype
     li = jnp.asarray(layer, jnp.int32).reshape(1)
     n_w = len(qs)
+    # opportunistic deeper DMA pipeline (see matmul_q4_pallas)
+    depth = 2
+    if k_dim // tk > 4:
+        stack4 = sum(3 * tm * n * 4 + 4 * tk * n for n in ns)
+        stack4 += tm * k_dim * 2
+        if stack4 <= 12 * (1 << 20):
+            depth = 4
     ys = pl.pallas_call(
-        functools.partial(_q8_gemv_multi_kernel, tk=tk, n_w=n_w),
+        functools.partial(
+            _q8_gemv_multi_kernel, tk=tk, n_w=n_w, depth=depth
+        ),
         in_specs=(
             [pl.BlockSpec(memory_space=pltpu.SMEM),
              pl.BlockSpec(memory_space=pltpu.VMEM)]
@@ -464,6 +500,188 @@ def matmul_q8_multi_pallas(
         if tm != rows:
             y = y[:rows]
         outs.append(y.reshape(lead + (n,)))
+    return tuple(outs)
+
+
+def _q4_unpack_block(p8, unpack: str):
+    """Unpack a packed int4 block to (lo, hi) bf16 — shared by the single
+    and grouped GEMV kernels. Nibble values (±7) are exact in bf16."""
+    if unpack == "mask":
+        lo = (p8 & jnp.int8(7)).astype(jnp.bfloat16) - \
+            (p8 & jnp.int8(8)).astype(jnp.bfloat16)
+        hi = (p8 & jnp.int8(-16)).astype(jnp.bfloat16) * \
+            jnp.bfloat16(0.0625)
+        return lo, hi
+    p = p8.astype(jnp.int32)
+    lo = (jnp.left_shift(p, 28) >> 28).astype(jnp.bfloat16)
+    hi = (p >> 4).astype(jnp.bfloat16)
+    return lo, hi
+
+
+def _q4_gemv_multi_kernel(li_ref, x_ref, *refs, tk: int, n_w: int,
+                          unpack: str, depth: int = 2):
+    """n_w PACKED-int4 weights sharing the same activations and
+    contraction dim, streamed in ONE program (the int4 twin of
+    ``_q8_gemv_multi_kernel``): refs = slo_0..slo_{n-1}, shi_0..shi_{n-1}
+    (VMEM), p_0..p_{n-1} (HBM), ylo_0, yhi_0, ..
+    Slope-timed per-call probing (run/q4_kernel_probe.py, late r3) put
+    the B=1 int4 decode step's gap to its single-read floor at ~10 us
+    per-program overhead x 7 launches/layer — grouping q/k/v and gate/up
+    (7 -> 4 launches) attacks exactly that."""
+    slo_refs = refs[:n_w]
+    shi_refs = refs[n_w:2 * n_w]
+    p_refs = refs[2 * n_w:3 * n_w]
+    y_refs = refs[3 * n_w:]
+    k_dim = p_refs[0].shape[-2]
+    n_chunks = k_dim // tk
+    tm = x_ref.shape[0]
+    li = li_ref[0]
+
+    def body(*scoped):
+        bufs = scoped[:n_w]
+        sems = scoped[n_w:]
+
+        def dma(j, slot, idx):
+            return pltpu.make_async_copy(
+                p_refs[j].at[li, pl.ds(idx * tk, tk), :],
+                bufs[j].at[slot],
+                sems[j].at[slot],
+            )
+
+        for c in range(min(depth - 1, n_chunks)):
+            for j in range(n_w):
+                dma(j, c, c).start()
+
+        def loop(i, accs):
+            slot = jax.lax.rem(i, depth)
+
+            @pl.when(i + depth - 1 < n_chunks)
+            def _():
+                for j in range(n_w):
+                    dma(j, jax.lax.rem(i + depth - 1, depth),
+                        i + depth - 1).start()
+
+            xb = x_ref[:, pl.ds(i * tk, tk)].astype(jnp.bfloat16)
+            new = []
+            for j in range(n_w):
+                dma(j, slot, i).wait()
+                lo, hi = _q4_unpack_block(bufs[j][slot], unpack)
+                acc_lo, acc_hi = accs[2 * j], accs[2 * j + 1]
+                new.append(acc_lo + jnp.dot(
+                    xb, lo, preferred_element_type=jnp.float32
+                ))
+                new.append(acc_hi + jnp.dot(
+                    xb, hi, preferred_element_type=jnp.float32
+                ))
+            return tuple(new)
+
+        accs = jax.lax.fori_loop(
+            0, n_chunks, loop,
+            tuple(
+                jnp.zeros((tm, p.shape[-1]), jnp.float32)
+                for p in p_refs for _ in (0, 1)
+            ),
+        )
+        for j in range(n_w):
+            y_refs[2 * j][:] = (
+                accs[2 * j] * slo_refs[j][:].astype(jnp.float32)
+            ).astype(y_refs[2 * j].dtype)
+            y_refs[2 * j + 1][:] = (
+                accs[2 * j + 1] * shi_refs[j][:].astype(jnp.float32)
+            ).astype(y_refs[2 * j + 1].dtype)
+
+    pl.run_scoped(
+        body,
+        *[pltpu.VMEM((depth, tk, p.shape[-1]), jnp.int8) for p in p_refs],
+        *[pltpu.SemaphoreType.DMA((depth,)) for _ in p_refs],
+    )
+
+
+def _q4_multi_plan(k_dim: int, halves, rows: int):
+    """(tk, tm) for a grouped int4 GEMV, or None. Same VMEM accounting as
+    the single kernel (two fp32 accumulator carries per weight, double-
+    charged by the loop), summed over the group's windows/accs."""
+    if rows > 64:
+        return None
+    tm = -(-rows // 8) * 8
+    for tk in (512, 256, 128):
+        if k_dim % tk or any(tk * h > (2 << 20) for h in halves):
+            continue
+        stack = sum(2 * tm * h * 4 * 2 + 2 * tk * h for h in halves)
+        stack += tm * k_dim * 2
+        if stack <= 15 * (1 << 20):
+            return tk, tm
+    return None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_fp32", "interpret", "unpack")
+)
+def matmul_q4_multi_pallas(
+    x: jax.Array,  # [..., K]
+    packs: tuple,  # n_w stacked [L, K, half_j] (or [K, half_j]) int4 pairs
+    scales: tuple,  # n_w layer-sliced [1, 2*half_j] scales
+    layer: jax.Array | int = 0,
+    out_fp32: bool = False,
+    interpret: bool = False,
+    unpack: str = "i32",
+):
+    """One streaming program for a group of int4 matmuls over the same x.
+    Returns a tuple of [..., 2*half_j] outputs (split-half layout each)."""
+    packs = tuple(p[None] if p.ndim == 2 else p for p in packs)
+    k_dim = packs[0].shape[-2]
+    halves = [p.shape[-1] for p in packs]
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, k_dim)
+    rows = x2.shape[0]
+    plan = _q4_multi_plan(k_dim, halves, rows)
+    if plan is None:
+        raise ValueError(
+            f"no q4 multi plan for K={k_dim} halves={halves} rows={rows}"
+        )
+    tk, tm = plan
+    if tm != rows:
+        x2 = jnp.pad(x2, ((0, tm - rows), (0, 0)))
+    out_dtype = jnp.float32 if out_fp32 else x.dtype
+    li = jnp.asarray(layer, jnp.int32).reshape(1)
+    n_w = len(packs)
+    s2 = [s.reshape(1, 2 * h) for s, h in zip(scales, halves)]
+    # opportunistic deeper DMA pipeline (see matmul_q4_pallas)
+    depth = 2
+    if k_dim // tk > 4:
+        stack4 = sum(2 * tm * h * 4 * 2 + 4 * tk * h for h in halves)
+        stack4 += tm * k_dim * 2
+        if stack4 <= 12 * (1 << 20):
+            depth = 4
+    ys = pl.pallas_call(
+        functools.partial(
+            _q4_gemv_multi_kernel, tk=tk, n_w=n_w, unpack=unpack,
+            depth=depth,
+        ),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.SMEM),
+             pl.BlockSpec(memory_space=pltpu.VMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_w)
+            + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_w
+        ),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_w),
+        out_shape=[
+            jax.ShapeDtypeStruct((tm, h), out_dtype)
+            for h in halves for _ in (0, 1)
+        ],
+        interpret=interpret,
+    )(
+        li, x2,
+        *[s[:, :h] for s, h in zip(s2, halves)],
+        *[s[:, h:] for s, h in zip(s2, halves)],
+        *packs,
+    )
+    outs = []
+    for j, h in enumerate(halves):
+        y = jnp.concatenate([ys[2 * j], ys[2 * j + 1]], axis=-1)
+        if tm != rows:
+            y = y[:rows]
+        outs.append(y.reshape(lead + (2 * h,)))
     return tuple(outs)
 
 

@@ -79,12 +79,112 @@ def _chain(fn, n_iters):
     return run
 
 
+def run_groups(args, hbm_gbps):
+    """Grouped (one launch) vs separate (n launches) int4 GEMV for the
+    decode-layer groups — the launch-overhead lever the slope probe
+    exposed (~10 us fixed cost per program)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dynamic_llava_tpu.ops.quant import quantize_weight
+    from dynamic_llava_tpu.ops.quant_matmul import (
+        _q4_multi_plan,
+        matmul_q4_multi_pallas,
+        matmul_q4_pallas,
+    )
+
+    rng = np.random.default_rng(1)
+    if args.model == "13b":
+        groups = [("qkv", 5120, [5120] * 3),
+                  ("gate_up", 5120, [13824] * 2)]
+    else:
+        groups = [("qkv", 4096, [4096] * 3),
+                  ("gate_up", 4096, [11008] * 2)]
+    if args.interpret:
+        groups = [("tiny_pair", 256, [512, 512])]
+
+    for name, k_dim, ns in groups:
+        leaves = [
+            quantize_weight(
+                jnp.asarray(
+                    rng.normal(size=(k_dim, n)) * 0.02, jnp.bfloat16
+                ),
+                axis=0, bits=4,
+            )
+            for n in ns
+        ]
+        packs = tuple(l["q4"] for l in leaves)
+        scales = tuple(l["s"] for l in leaves)
+        floor_us = sum(k_dim * (n // 2) for n in ns) / hbm_gbps / 1e3
+        for rows in args.rows:
+            if _q4_multi_plan(
+                k_dim, [p.shape[-1] for p in packs], rows
+            ) is None:
+                continue
+            interp = args.interpret
+
+            def separate(x, packs, scales):
+                y = None
+                for p, s in zip(packs, scales):
+                    yi = matmul_q4_pallas(x, p, s, interpret=interp)
+                    y = yi if y is None else y + yi[..., : y.shape[-1]]
+                return y
+
+            def grouped(x, packs, scales):
+                ys = matmul_q4_multi_pallas(
+                    x, packs, scales, interpret=interp
+                )
+                y = ys[0]
+                for yi in ys[1:]:
+                    y = y + yi[..., : y.shape[-1]]
+                return y
+
+            x = jnp.asarray(rng.normal(size=(rows, k_dim)), jnp.bfloat16)
+            rec = {
+                "shape": name, "K": k_dim, "ns": ns, "rows": rows,
+                "iters": args.iters,
+                "single_read_floor_us": round(floor_us, 1),
+            }
+            for vname, fn in (("separate", separate), ("grouped", grouped)):
+                try:
+                    run_n = _chain(fn, args.iters)
+                    run_4n = _chain(fn, 4 * args.iters)
+                    float(run_n(x, packs, scales))
+                    float(run_4n(x, packs, scales))
+                    us = _slope_us(
+                        run_n, run_4n, (x, packs, scales), args.iters
+                    )
+                except Exception as e:
+                    rec[vname + "_error"] = str(e).split("\n")[0][:160]
+                    continue
+                rec[vname + "_us"] = round(us, 1)
+                rec[vname + "_roofline"] = round(floor_us / us, 3)
+            print(json.dumps(rec), flush=True)
+
+
+def _slope_us(run_n, run_4n, fn_args, iters: int, repeats: int = 3):
+    """Median-of-``repeats`` slope between an N- and a 4N-call chain:
+    per-call us with every constant offset (tunnel RTT, dispatch, final
+    sync) cancelled, robust to single-shot tunnel jitter."""
+    slopes = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(run_n(*fn_args))
+        t1 = time.perf_counter()
+        float(run_4n(*fn_args))
+        t2 = time.perf_counter()
+        slopes.append(((t2 - t1) - (t1 - t0)) / (3 * iters) * 1e6)
+    slopes.sort()
+    return slopes[len(slopes) // 2]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="7b", choices=("7b", "13b"))
     ap.add_argument("--rows", type=int, nargs="*", default=[1, 24])
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--skip-xla", action="store_true")
+    ap.add_argument("--groups-only", action="store_true")
     ap.add_argument(
         "--interpret", action="store_true",
         help="CPU smoke mode: tiny shapes, interpret-mode kernels",
@@ -113,6 +213,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         shapes = [("tiny", 256, 1024)]
         args.iters = min(args.iters, 2)
+    if args.groups_only:
+        run_groups(args, hbm_gbps)
+        return
 
     for name, k_dim, n in shapes:
         w = jnp.asarray(rng.normal(size=(k_dim, n)) * 0.02, jnp.bfloat16)
@@ -167,18 +270,15 @@ def main():
                     # compile + REAL warmup fetches (lore)
                     float(run_n(x, p, s))
                     float(run_4n(x, p, s))
-                    t0 = time.perf_counter()
-                    float(run_n(x, p, s))
-                    t1 = time.perf_counter()
-                    float(run_4n(x, p, s))
-                    t2 = time.perf_counter()
+                    us = _slope_us(run_n, run_4n, (x, p, s), args.iters)
                 except Exception as e:
                     rec[vname + "_error"] = str(e).split("\n")[0][:160]
                     continue
-                us = ((t2 - t1) - (t1 - t0)) / (3 * args.iters) * 1e6
                 rec[vname + "_us"] = round(us, 1)
                 rec[vname + "_roofline"] = round(floor_us / us, 3)
             print(json.dumps(rec), flush=True)
+
+    run_groups(args, hbm_gbps)
 
 
 if __name__ == "__main__":

@@ -504,3 +504,162 @@ def test_q8_multi_plan_shapes():
     assert matmul_q8_group(x, {"a": la2, "b": lb}, ("a", "b")) is None
     # non-quantized member bails too
     assert matmul_q8_group(x, {"a": la, "b": w}, ("a", "b")) is None
+
+
+def test_matmul_q4_multi_matches_oracle():
+    """The grouped int4 streaming GEMV (q/k/v, gate/up — one launch per
+    group) must match per-weight XLA split-half oracles for stacked
+    weights at every layer index, in both unpack modes."""
+    from dynamic_llava_tpu.ops.quant import quantize_weight
+    from dynamic_llava_tpu.ops.quant_matmul import (
+        _q4_multi_plan,
+        matmul_q4_multi_pallas,
+    )
+
+    rng = np.random.default_rng(23)
+    n_layers, k_dim = 2, 256
+    ns = (256, 256, 512)  # out widths -> halves 128/128/256
+    leaves = [
+        quantize_weight(
+            jnp.asarray(
+                rng.normal(size=(n_layers, k_dim, n)) * 0.02, jnp.bfloat16
+            ),
+            axis=1, bits=4,
+        )
+        for n in ns
+    ]
+    halves = [l["q4"].shape[-1] for l in leaves]
+    assert _q4_multi_plan(k_dim, halves, rows=3)
+    x = jnp.asarray(rng.normal(size=(3, k_dim)), jnp.bfloat16)
+    for li in range(n_layers):
+        for unpack in ("i32", "mask"):
+            got = matmul_q4_multi_pallas(
+                x,
+                tuple(l["q4"] for l in leaves),
+                tuple(l["s"][li] for l in leaves),
+                layer=jnp.int32(li),
+                interpret=True,
+                unpack=unpack,
+            )
+            assert len(got) == len(ns)
+            for y, leaf, half in zip(got, leaves, halves):
+                p, s = leaf["q4"][li], leaf["s"][li]
+                lo = (jnp.left_shift(p, 4) >> 4).astype(x.dtype) * s[
+                    ..., :half
+                ].astype(x.dtype)
+                hi = (p >> 4).astype(x.dtype) * s[..., half:].astype(
+                    x.dtype
+                )
+                ref = jnp.concatenate([
+                    jnp.einsum("ri,io->ro", x, lo),
+                    jnp.einsum("ri,io->ro", x, hi),
+                ], axis=-1)
+                np.testing.assert_allclose(
+                    np.asarray(y, np.float32), np.asarray(ref, np.float32),
+                    atol=2e-2, rtol=2e-2,
+                )
+
+
+def test_q4_group_dispatch_and_plans():
+    """7B int4 q/k/v and gate/up groups must be plannable at decode rows;
+    the group dispatcher must bail (not crash) on mixed leaves, mismatched
+    layer indices, and prefill row counts."""
+    from dynamic_llava_tpu.ops.quant import matmul_q4_group, quantize_weight
+    from dynamic_llava_tpu.ops.quant_matmul import _q4_multi_plan
+
+    # 7B shapes: q/k/v halves 2048; gate/up halves 5504
+    assert _q4_multi_plan(4096, [2048, 2048, 2048], rows=1)
+    assert _q4_multi_plan(4096, [2048, 2048, 2048], rows=24)
+    assert _q4_multi_plan(4096, [5504, 5504], rows=24)
+    # 13B shapes
+    assert _q4_multi_plan(5120, [2560, 2560, 2560], rows=24)
+    assert _q4_multi_plan(5120, [6912, 6912], rows=24)
+    assert not _q4_multi_plan(4096, [2048], rows=65)
+
+    rng = np.random.default_rng(24)
+    w = jnp.asarray(rng.normal(size=(16, 64)) * 0.02, jnp.bfloat16)
+    la = quantize_weight(w, axis=0, bits=4)
+    lb = dict(quantize_weight(w, axis=0, bits=4))
+    la2 = dict(la)
+    la2["li"] = jnp.int32(0)
+    lb["li"] = jnp.int32(1)
+    x = jnp.asarray(rng.normal(size=(1, 16)), jnp.bfloat16)
+    assert matmul_q4_group(x, {"a": la2, "b": lb}, ("a", "b")) is None
+    assert matmul_q4_group(x, {"a": la, "b": w}, ("a", "b")) is None
+    # int8 leaf in an int4 group bails too
+    l8 = quantize_weight(w, axis=0, bits=8)
+    assert matmul_q4_group(x, {"a": la, "b": l8}, ("a", "b")) is None
+
+
+def test_matmul_q4_deep_pipeline_matches_oracle():
+    """Shapes with many row chunks upgrade the DMA pipeline to 4 slots
+    (K // tk > 4); the deeper schedule must stay exact vs the XLA split
+    oracle — this is the `down`-projection regime (K=11008 at tk=256 is
+    43 chunks) whose depth-2 form measured 49% of roofline."""
+    from dynamic_llava_tpu.ops.quant import quantize_weight
+    from dynamic_llava_tpu.ops.quant_matmul import (
+        _pick_tk,
+        matmul_q4_pallas,
+    )
+
+    rng = np.random.default_rng(31)
+    k_dim, out = 4096, 256  # tk=512 -> 8 chunks -> depth 4
+    assert k_dim // _pick_tk(k_dim, out // 2) > 4
+    w = jnp.asarray(rng.normal(size=(k_dim, out)) * 0.02, jnp.bfloat16)
+    leaf = quantize_weight(w, axis=0, bits=4)
+    p, s = leaf["q4"], leaf["s"]
+    half = p.shape[-1]
+    for rows in (1, 24):
+        x = jnp.asarray(rng.normal(size=(rows, k_dim)), jnp.bfloat16)
+        lo = (jnp.left_shift(p, 4) >> 4).astype(x.dtype) * s[
+            ..., :half
+        ].astype(x.dtype)
+        hi = (p >> 4).astype(x.dtype) * s[..., half:].astype(x.dtype)
+        ref = jnp.concatenate([
+            jnp.einsum("ri,io->ro", x, lo),
+            jnp.einsum("ri,io->ro", x, hi),
+        ], axis=-1)
+        got = matmul_q4_pallas(x, p, s, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
+
+
+def test_matmul_q4_multi_deep_pipeline_matches_oracle():
+    """Grouped kernel with K // tk > 4 upgrades to the 4-slot DMA
+    pipeline; must stay exact vs per-weight oracles."""
+    from dynamic_llava_tpu.ops.quant import quantize_weight
+    from dynamic_llava_tpu.ops.quant_matmul import matmul_q4_multi_pallas
+
+    rng = np.random.default_rng(33)
+    k_dim, ns = 4096, (256, 256)  # tk=512 -> 8 chunks -> depth 4
+    leaves = [
+        quantize_weight(
+            jnp.asarray(rng.normal(size=(k_dim, n)) * 0.02, jnp.bfloat16),
+            axis=0, bits=4,
+        )
+        for n in ns
+    ]
+    x = jnp.asarray(rng.normal(size=(2, k_dim)), jnp.bfloat16)
+    got = matmul_q4_multi_pallas(
+        x,
+        tuple(l["q4"] for l in leaves),
+        tuple(l["s"] for l in leaves),
+        interpret=True,
+    )
+    for y, leaf in zip(got, leaves):
+        p, s = leaf["q4"], leaf["s"]
+        half = p.shape[-1]
+        lo = (jnp.left_shift(p, 4) >> 4).astype(x.dtype) * s[
+            ..., :half
+        ].astype(x.dtype)
+        hi = (p >> 4).astype(x.dtype) * s[..., half:].astype(x.dtype)
+        ref = jnp.concatenate([
+            jnp.einsum("ri,io->ro", x, lo),
+            jnp.einsum("ri,io->ro", x, hi),
+        ], axis=-1)
+        np.testing.assert_allclose(
+            np.asarray(y, np.float32), np.asarray(ref, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
