@@ -23,6 +23,8 @@ reference bench streams per-config records for
   * ``7b_ladder`` / ``7b_ladder_likequant`` — the composed int4+fp8
                    serving-config ladder top vs the dense-int8-best and
                    like-quant dense baselines.
+  * ``13b_int4``  — 13B on one chip (the packed-int4 capacity claim),
+                   B=1 latency with the grouped streaming GEMVs.
   * ``serving_int8kv`` — the serving arm with scaled-int8 KV storage
                    (fp8 bandwidth + per-vector scales; lowest priority).
 
@@ -172,6 +174,14 @@ ARMS = {
         "note": "speculative device loop vs plain B=1; acceptance on "
                 "random weights is content-flattered — see tokens_per_round",
     },
+    # 13B on ONE chip — the capacity claim the packed-int4 format exists
+    # for (13B bf16 is 26 GB; int4 is 6.6 GB), driver-captured at the
+    # B=1 latency point with the grouped streaming GEMVs.
+    "13b_int4": {
+        "sparse": _side("13b", 1, new_tokens=256, quant="int4"),
+        "dense": _side("13b", 1, new_tokens=256, quant="int4"),
+        "metric": "decode_tok_s_sparse_13b_int4_b1",
+    },
     # Same sparse side (cached) vs the LIKE-QUANT dense counterpart at its
     # own measured ceiling (int4+fp8 B=32 rejected at compile, 16.13 GB).
     "7b_ladder_likequant": {
@@ -185,8 +195,8 @@ ARMS = {
     },
 }
 ARM_ORDER = ("7b_best", "7b_batch", "serving", "7b", "serving_fp8",
-             "7b_ladder", "7b_ladder_likequant", "serving_int8kv",
-             "7b_spec")
+             "7b_ladder", "7b_ladder_likequant", "13b_int4",
+             "serving_int8kv", "7b_spec")
 
 # kept for back-compat with run/ scripts that import CONFIGS
 CONFIGS = {
@@ -288,6 +298,11 @@ class _FullRun:
         child = self.current_child
         if child is not None and child.poll() is None:
             child.kill()
+        # The signal can land mid-print in the main loop's emit_summary —
+        # observed once as two summaries fused onto ONE stdout line, which
+        # an exact-JSON parser of the last line rejects. Start from a fresh
+        # line so the handler's summary is always parseable on its own.
+        sys.stdout.write("\n")
         self.emit_summary(final=True)
         sys.stdout.flush()
         os._exit(0)
