@@ -741,6 +741,7 @@ def forward_train(
     remat: bool = True,
     remat_policy: str = "nothing",
     return_hidden: bool = False,
+    layer_runner=None,
 ) -> TrainForwardOut:
     """Full-sequence training forward with Gumbel policy masks
     (reference T1/T2/T3, dynamic_modeling_llama.py:1824-2259).
@@ -748,7 +749,11 @@ def forward_train(
     ``return_hidden=True`` skips the lm_head and returns the final hidden
     states instead of logits, so the loss can run the blockwise-fused CE
     (``train.losses.lm_cross_entropy_blockwise``) without the [B, S, V]
-    fp32 logits tensor ever existing."""
+    fp32 logits tensor ever existing.
+
+    ``layer_runner`` overrides how the two decoder layer ranges execute
+    (same signature as ``llama.run_layers_nocache``) — the hook pipeline
+    parallelism plugs into (``parallel.pipeline.make_layer_runner``)."""
     tcfg, sparse = cfg.text, cfg.sparse
     b, s = plan_token_ids.shape
     n_img = cfg.num_image_tokens
@@ -761,7 +766,8 @@ def forward_train(
         x = fuse_embeddings(x, img_feats, plan_is_image, plan_image_slot)
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
 
-    x = llama.run_layers_nocache(
+    run_layers = layer_runner or llama.run_layers_nocache
+    x = run_layers(
         params["llm"], tcfg, x, positions, lo=0, hi=sl, remat=remat,
         remat_policy=remat_policy, training=True,
     )
@@ -822,7 +828,7 @@ def forward_train(
         or sparse.use_output_text_predictor
         or sparse.use_instruct_predictor
     )
-    x = llama.run_layers_nocache(
+    x = run_layers(
         params["llm"], tcfg, x, positions,
         lo=sl, hi=tcfg.num_hidden_layers,
         policy=policy if use_policy else None,

@@ -8,11 +8,15 @@ TPU-native replacement for the reference's DeepSpeed ZeRO-3 / NCCL stack
 * ``fsdp``   — ZeRO-3-style parameter/optimizer sharding; XLA inserts the
   per-layer all-gathers and reduce-scatters over ICI,
 * ``tensor`` — Megatron-style tensor parallelism over attention heads and
-  MLP hidden (the reference's ``pretraining_tp`` emulation, made real).
+  MLP hidden (the reference's ``pretraining_tp`` emulation, made real),
+* ``pipe``   — GPipe pipeline parallelism over the layer-stacked axis
+  (``parallel.pipeline``); size 1 unless pipeline training is on.
 
 Rules are expressed as ``PartitionSpec`` pytrees mirroring the parameter
 pytrees; ``jit`` in/out shardings + GSPMD propagation do the rest — no
-hand-written collectives.
+hand-written collectives. The one exception is the ``pipe`` axis, which is
+manual by construction (``jax.shard_map`` + ``ppermute`` microbatch
+schedule); GSPMD still manages the other three axes inside it.
 """
 
 from __future__ import annotations
@@ -25,43 +29,47 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import LlamaConfig, LlavaConfig
 
-MESH_AXES = ("data", "fsdp", "tensor")
+MESH_AXES = ("data", "fsdp", "tensor", "pipe")
 
 
 def make_mesh(
     data: int = 1,
     fsdp: int = -1,
     tensor: int = 1,
+    pipe: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if fsdp == -1:
-        fsdp = n // (data * tensor)
-    assert data * fsdp * tensor == n, (data, fsdp, tensor, n)
-    arr = np.asarray(devices).reshape(data, fsdp, tensor)
+        fsdp = n // (data * tensor * pipe)
+    assert data * fsdp * tensor * pipe == n, (data, fsdp, tensor, pipe, n)
+    arr = np.asarray(devices).reshape(data, fsdp, tensor, pipe)
     return Mesh(arr, MESH_AXES)
 
 
-def llama_param_specs(cfg: LlamaConfig) -> dict:
+def llama_param_specs(cfg: LlamaConfig, pipe: bool = False) -> dict:
     """PartitionSpecs mirroring ``models.llama.init_llama_params``.
 
     Layer-stacked weights are [L, in, out]; 'fsdp' shards the in dim and
     'tensor' shards the per-head / hidden dims (swapped for the projections
-    that contract over them).
+    that contract over them). With ``pipe=True`` the stacked layer axis is
+    additionally sharded over 'pipe' (pipeline stages own contiguous layer
+    blocks — the stack must be in pipeline order, ``parallel.pipeline``).
     """
+    lax0 = "pipe" if pipe else None
     specs = {
         "embed": P("tensor", "fsdp"),
         "layers": {
-            "input_ln": P(None, None),
-            "post_ln": P(None, None),
-            "q": P(None, "fsdp", "tensor"),
-            "k": P(None, "fsdp", "tensor"),
-            "v": P(None, "fsdp", "tensor"),
-            "o": P(None, "tensor", "fsdp"),
-            "gate": P(None, "fsdp", "tensor"),
-            "up": P(None, "fsdp", "tensor"),
-            "down": P(None, "tensor", "fsdp"),
+            "input_ln": P(lax0, None),
+            "post_ln": P(lax0, None),
+            "q": P(lax0, "fsdp", "tensor"),
+            "k": P(lax0, "fsdp", "tensor"),
+            "v": P(lax0, "fsdp", "tensor"),
+            "o": P(lax0, "tensor", "fsdp"),
+            "gate": P(lax0, "fsdp", "tensor"),
+            "up": P(lax0, "fsdp", "tensor"),
+            "down": P(lax0, "tensor", "fsdp"),
         },
         "final_ln": P(None),
         "lm_head": P("fsdp", "tensor"),
@@ -96,16 +104,17 @@ def _replicated_like(tree):
     return jax.tree.map(lambda _: P(), tree)
 
 
-def llava_param_specs(cfg: LlavaConfig, params) -> dict:
+def llava_param_specs(cfg: LlavaConfig, params, pipe: bool = False) -> dict:
     """Specs for the full bundle. Predictors and projector are tiny —
     replicate them (sharding a 512-wide MLP wastes collectives)."""
-    llm_specs = llama_param_specs(cfg.text)
+    llm_specs = llama_param_specs(cfg.text, pipe=pipe)
+    lax0 = "pipe" if pipe else None
     for key in params["llm"]["layers"]:
         if key.endswith("_lora"):
             # adapters: A sharded on the input dim, B on the output dim
             llm_specs["layers"][key] = {
-                "a": P(None, "fsdp", None),
-                "b": P(None, None, "tensor"),
+                "a": P(lax0, "fsdp", None),
+                "b": P(lax0, None, "tensor"),
                 "s": P(),
             }
     specs = {

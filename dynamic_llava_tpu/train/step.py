@@ -57,7 +57,7 @@ def batch_from_plan(plan: FusionPlan, pixel_values) -> TrainBatch:
 
 
 def loss_fn(params, cfg: LlavaConfig, batch: TrainBatch, rng, tau, remat=True,
-            remat_policy="nothing", fused_ce=True):
+            remat_policy="nothing", fused_ce=True, layer_runner=None):
     # fused_ce: the [B, S, V] fp32 logits tensor never materializes — the
     # lm_head + CE run blockwise inside the loss (lm_cross_entropy_blockwise)
     out = dynamic.forward_train(
@@ -66,7 +66,7 @@ def loss_fn(params, cfg: LlavaConfig, batch: TrainBatch, rng, tau, remat=True,
         batch.image_start, batch.answer_start, batch.answer_end,
         batch.last_instruct_start, batch.last_instruct_end, batch.has_image,
         batch.pixel_values, rng, tau, remat=remat, remat_policy=remat_policy,
-        return_hidden=fused_ce,
+        return_hidden=fused_ce, layer_runner=layer_runner,
     )
     return total_loss(out, batch.labels, cfg.sparse,
                       llm_params=params["llm"], tcfg=cfg.text)
@@ -82,6 +82,7 @@ def make_train_step(
     labels=None,
     remat_policy: str = "nothing",
     fused_ce: bool = True,
+    layer_runner=None,
 ):
     """Returns jitted ``step(params, opt_state, batch, rng, tau) ->
     (params, opt_state, metrics)``. With a mesh, params/opt-state are
@@ -110,7 +111,8 @@ def make_train_step(
     def grads_of(params, batch, rng, tau):
         if frozen_flags is None:
             return jax.value_and_grad(loss_fn, has_aux=True)(
-                params, cfg, batch, rng, tau, remat, remat_policy, fused_ce
+                params, cfg, batch, rng, tau, remat, remat_policy, fused_ce,
+                layer_runner,
             )
         treedef = jax.tree.structure(params)
         leaves = jax.tree.leaves(params)
@@ -126,7 +128,7 @@ def make_train_step(
 
         def loss_trainable(train_leaves):
             return loss_fn(merge(train_leaves, frozen), cfg, batch, rng,
-                           tau, remat, remat_policy, fused_ce)
+                           tau, remat, remat_policy, fused_ce, layer_runner)
 
         (loss, metrics), g_train = jax.value_and_grad(
             loss_trainable, has_aux=True
