@@ -501,11 +501,15 @@ def run_layers_decode(
 
     def body(x, xs):
         if quantized:
+            # int8 K/V + per-vector scales ride RAW into the attention;
+            # the scales fold into scores/probabilities there. Dequantizing
+            # here made XLA materialize the bf16 cache (measured ~45% of
+            # serving throughput, docs/BENCHMARKS.md serving_int8kv arm).
             li, ck_l, cv_l, sk_l, sv_l, length_l = xs
-            k_read = dequantize_kv(ck_l, sk_l, x.dtype)
-            v_read = dequantize_kv(cv_l, sv_l, x.dtype)
+            k_read, v_read = ck_l, cv_l
         else:
             li, ck_l, cv_l, length_l = xs
+            sk_l = sv_l = None
             k_read, v_read = ck_l.astype(x.dtype), cv_l.astype(x.dtype)
         lp = index_layer(layers, li + lo)
         h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
@@ -513,6 +517,7 @@ def run_layers_decode(
         o = decode_attend_appended(
             q, k_read, v_read, k, v, length_l,
             window=cfg.sliding_window, q_pos=positions[:, 0],
+            k_scale=sk_l, v_scale=sv_l,
         )
         x = x + lora_proj(lp, "o", o.reshape(b, 1, -1))
         hh = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)

@@ -304,6 +304,8 @@ def decode_attend_appended(
     scale: Optional[float] = None,
     window: Optional[int] = None,  # sliding window; needs q_pos (dense cache)
     q_pos: Optional[jax.Array] = None,  # [B] current token's position
+    k_scale: Optional[jax.Array] = None,  # [B, max_len, Hkv] int8-KV scales
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Decode attention with the current token APPENDED virtually.
 
@@ -314,7 +316,19 @@ def decode_attend_appended(
     as read-only ``xs`` and defer the (tiny) K/V scatter to one op outside
     the loop — carrying multi-GB cache buffers through a scan costs a
     capacity-proportional copy per step (measured: 18% of the B=24 7B
-    decode step went to carry traffic, run/decode_profile.py)."""
+    decode step went to carry traffic, run/decode_profile.py).
+
+    ``k_scale``/``v_scale`` (scaled-int8 KV storage) are folded
+    ALGEBRAICALLY instead of dequantizing the cache:
+    ``(q · (k_i·s_i)) == (q·k_i)·s_i`` applies the K scale to the score
+    row after the matmul, and ``Σ p_i·(v_i·s_i) == Σ (p_i·s_i)·v_i``
+    folds the V scale into the probabilities — so the int8 buffers feed
+    the matmuls through a plain cast (which XLA fuses, like the fp8
+    path). The naive ``int8→bf16 × scale`` dequant MATERIALIZED the bf16
+    K/V and cost ~45% of serving throughput (docs/BENCHMARKS.md,
+    serving_int8kv arm). The fold is also (slightly) more accurate: int8
+    values cast to bf16 exactly, and the scale multiply happens in fp32
+    score space instead of bf16 operand space."""
     n_rep = q.shape[2] // k_cache.shape[2]
     k_cache = repeat_kv_heads(k_cache, n_rep)
     v_cache = repeat_kv_heads(v_cache, n_rep)
@@ -323,7 +337,14 @@ def decode_attend_appended(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     max_len = k_cache.shape[1]
-    logits_cache = _logits(q, k_cache, scale)  # [B, H, 1, max_len]
+
+    def fold(scales):  # [B, max_len, Hkv] -> [B, H, 1, max_len] fp32
+        s = repeat_kv_heads(scales[..., None], n_rep)[..., 0]
+        return s.astype(jnp.float32).transpose(0, 2, 1)[:, :, None, :]
+
+    logits_cache = _logits(q, k_cache.astype(q.dtype), scale)
+    if k_scale is not None:
+        logits_cache = logits_cache * fold(k_scale)
     cols = jnp.arange(max_len, dtype=jnp.int32)
     mask = cols[None, None, None, :] < kv_length[:, None, None, None]
     if window is not None:
@@ -335,8 +356,11 @@ def decode_attend_appended(
     w = jax.nn.softmax(
         jnp.concatenate([logits_cache, logit_cur], axis=-1), axis=-1
     )
+    w_cache = w[..., :max_len]
+    if v_scale is not None:
+        w_cache = w_cache * fold(v_scale)
     out = jnp.einsum(
-        "bhqk,bkhd->bqhd", w[..., :max_len], v_cache,
+        "bhqk,bkhd->bqhd", w_cache, v_cache.astype(q.dtype),
         preferred_element_type=jnp.float32,
     ) + jnp.einsum(
         "bhqk,bkhd->bqhd", w[..., max_len:], v_cur,

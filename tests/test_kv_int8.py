@@ -138,3 +138,32 @@ def test_beam_reorder_carries_scales():
         np.asarray(out.post.k_scale[:, 0]), np.asarray(sk[:, 2])
     )
     assert out.pre.v_scale is not None
+
+
+def test_fold_matches_dequant_decode_attend():
+    """The scale-folded int8 path in decode_attend_appended must equal
+    dequantize-then-attend: (q·(k·s)) == (q·k)·s and Σp(v·s) == Σ(p·s)v.
+    The fold is what keeps XLA from materializing the bf16 cache
+    (docs/BENCHMARKS.md, serving_int8kv arm)."""
+    from dynamic_llava_tpu.ops.attention import decode_attend_appended
+
+    rng = np.random.default_rng(3)
+    b, max_len, hkv, h, d = 2, 17, 2, 4, 16
+    k_raw = jnp.asarray(rng.normal(size=(b, max_len, hkv, d)) * 3.0,
+                        jnp.float32)
+    v_raw = jnp.asarray(rng.normal(size=(b, max_len, hkv, d)) * 3.0,
+                        jnp.float32)
+    kq, ks = quantize_kv(k_raw)
+    vq, vs = quantize_kv(v_raw)
+    q = jnp.asarray(rng.normal(size=(b, 1, h, d)), jnp.float32)
+    k_cur = jnp.asarray(rng.normal(size=(b, 1, hkv, d)), jnp.float32)
+    v_cur = jnp.asarray(rng.normal(size=(b, 1, hkv, d)), jnp.float32)
+    length = jnp.asarray([5, 17], jnp.int32)
+
+    ref = decode_attend_appended(
+        q, dequantize_kv(kq, ks, jnp.float32),
+        dequantize_kv(vq, vs, jnp.float32), k_cur, v_cur, length)
+    got = decode_attend_appended(
+        q, kq, vq, k_cur, v_cur, length, k_scale=ks, v_scale=vs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
