@@ -70,6 +70,12 @@ def parse_args(argv=None):
     p.add_argument("--data_parallel", type=int, default=1)
     p.add_argument("--fsdp_parallel", type=int, default=-1)
     p.add_argument("--tensor_parallel", type=int, default=1)
+    p.add_argument("--pipeline_parallel", type=int, default=1,
+                   help="GPipe stages over the layer stack (1 = off); "
+                        "must divide num_hidden_layers")
+    p.add_argument("--pipeline_microbatches", type=int, default=0,
+                   help="microbatches per pipelined sweep (0 -> = stages); "
+                        "must divide the per-step batch size")
     # sparse flags (reference SparseArguments, train_sparse.py:145-165)
     p.add_argument("--use_vision_predictor", type=lambda s: s.lower() != "false", default=True)
     p.add_argument("--vision_keep_rate", type=float, default=0.2)
@@ -246,6 +252,8 @@ def train(argv=None):
         data_parallel=args.data_parallel,
         fsdp_parallel=args.fsdp_parallel,
         tensor_parallel=args.tensor_parallel,
+        pipeline_parallel=args.pipeline_parallel,
+        pipeline_microbatches=args.pipeline_microbatches,
         lora_mode=args.lora_enable,
         tune_mm_mlp_adapter=args.tune_mm_mlp_adapter,
         mm_projector_lr=args.mm_projector_lr,

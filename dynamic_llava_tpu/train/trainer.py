@@ -54,6 +54,12 @@ class TrainerConfig:
     data_parallel: int = 1
     fsdp_parallel: int = -1
     tensor_parallel: int = 1
+    # GPipe pipeline stages over the layer stack (parallel/pipeline.py);
+    # 1 = off. Stage count must divide num_hidden_layers.
+    pipeline_parallel: int = 1
+    # microbatches per pipelined sweep (0 -> = pipeline_parallel); must
+    # divide the per-step batch size. Bubble fraction is (P-1)/(M+P-1).
+    pipeline_microbatches: int = 0
 
 
 class MetricsLogger:
@@ -90,12 +96,35 @@ class Trainer:
         self.cfg = cfg
         self.tc = tc
         n_dev = len(jax.devices())
+        self.pipe_plan = None
+        self._layer_runner = None
         if use_mesh and n_dev > 1:
+            pipe = max(tc.pipeline_parallel, 1)
             self.mesh = make_mesh(
                 data=tc.data_parallel, fsdp=tc.fsdp_parallel,
-                tensor=tc.tensor_parallel,
+                tensor=tc.tensor_parallel, pipe=pipe,
             )
-            self.specs = llava_param_specs(cfg, params)
+            if pipe > 1:
+                from ..parallel.pipeline import (
+                    make_layer_runner,
+                    permute_stack,
+                    plan_pipeline,
+                )
+
+                self.pipe_plan = plan_pipeline(
+                    cfg.text.num_hidden_layers, cfg.sparse.sparse_layer,
+                    stages=pipe,
+                    microbatches=tc.pipeline_microbatches or pipe,
+                )
+                params = dict(params)
+                params["llm"] = dict(params["llm"])
+                params["llm"]["layers"] = permute_stack(
+                    params["llm"]["layers"], self.pipe_plan.order
+                )
+                self._layer_runner = make_layer_runner(
+                    self.mesh, self.pipe_plan
+                )
+            self.specs = llava_param_specs(cfg, params, pipe=pipe > 1)
             params = shard_params(params, self.mesh, self.specs)
         else:
             self.mesh = None
@@ -141,6 +170,7 @@ class Trainer:
             grad_accum_steps=tc.grad_accum_steps,
             labels=self.labels,
             remat_policy=tc.remat_policy,
+            layer_runner=self._layer_runner,
         )
         self.logger = MetricsLogger(tc.output_dir, tc.report_to != "none")
         self.step = 0
@@ -157,6 +187,23 @@ class Trainer:
                 options=ocp.CheckpointManagerOptions(max_to_keep=3),
             )
         return self._ckpt_mgr
+
+    def unpermuted_params(self):
+        """Params with the layer stack back in original order — use this
+        (not ``self.params``) when exporting a pipeline-parallel run to an
+        HF checkpoint (``models.export``). Orbax save/resume keeps the
+        pipeline order (the plan is a pure function of the config, so a
+        resumed run re-derives the same permutation)."""
+        if self.pipe_plan is None:
+            return self.params
+        from ..parallel.pipeline import inverse_order, permute_stack
+
+        params = dict(self.params)
+        params["llm"] = dict(params["llm"])
+        params["llm"]["layers"] = permute_stack(
+            params["llm"]["layers"], inverse_order(self.pipe_plan.order)
+        )
+        return params
 
     def save(self):
         import orbax.checkpoint as ocp

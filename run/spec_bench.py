@@ -135,7 +135,10 @@ def measure(args) -> dict:
     out = run_once(stats)
     dt = time.perf_counter() - t0
     rtt = rtt_floor()
-    host_sync_s = stats["rounds"] * rtt
+    # the device loop runs ALL rounds in-graph with ONE host fetch; the
+    # host loop pays one round-trip per verify round
+    n_syncs = 1 if args.arm == "spec_lookup_device" else stats["rounds"]
+    host_sync_s = n_syncs * rtt
     device_s = max(dt - host_sync_s, 1e-9)
     return {
         "arm": args.arm, "k": args.k,

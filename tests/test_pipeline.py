@@ -255,3 +255,61 @@ def test_pipeline_train_step_matches_sequential():
     np.testing.assert_allclose(
         np.asarray(got_q), np.asarray(p1["llm"]["layers"]["q"]),
         rtol=2e-3, atol=2e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_trainer_pipeline_mode(tmp_path):
+    """Trainer with pipeline_parallel=2 (mesh 1x4x1x2): steps run with a
+    finite loss, save/resume keeps the permuted tree, and
+    unpermuted_params restores original layer order for export."""
+    from dynamic_llava_tpu.multimodal.fusion import plan_batch
+    from dynamic_llava_tpu.train.trainer import Trainer, TrainerConfig
+
+    cfg = _llava_cfg()
+    params = dynamic.init_llava_params(jax.random.key(0), cfg)
+    q0 = np.asarray(params["llm"]["layers"]["q"])
+    tc = TrainerConfig(
+        output_dir=str(tmp_path), learning_rate=1e-3, predictor_lr=1e-3,
+        num_train_steps=2, logging_steps=1, save_steps=2,
+        gradient_checkpointing=False,
+        data_parallel=1, fsdp_parallel=-1, tensor_parallel=1,
+        pipeline_parallel=2, pipeline_microbatches=2,
+    )
+
+    rng_np = np.random.default_rng(1)
+    ids, labels = [], []
+    for _ in range(4):
+        row = rng_np.integers(3, cfg.text.vocab_size, size=(20,)).astype(
+            np.int64)
+        row[1] = -200
+        lab = row.copy()
+        lab[:14] = -100
+        ids.append(row)
+        labels.append(lab)
+    plan = plan_batch(ids, cfg.num_image_tokens, labels_list=labels)
+    imgs = rng_np.normal(
+        size=(4, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+
+    trainer = Trainer(cfg, params, tc)
+    assert trainer.pipe_plan is not None
+    metrics = trainer.train(iter([(plan, imgs)] * 2))
+    assert np.isfinite(metrics["loss"])
+
+    up = trainer.unpermuted_params()
+    qk = np.asarray(up["llm"]["layers"]["q"])
+    assert qk.shape == q0.shape
+    # un-permutation must exactly invert the pipeline order
+    requeued = permute_stack(up["llm"]["layers"], trainer.pipe_plan.order)
+    np.testing.assert_array_equal(
+        np.asarray(requeued["q"]),
+        np.asarray(trainer.params["llm"]["layers"]["q"]))
+
+    # resume restores the permuted tree at the saved step
+    trainer2 = Trainer(
+        cfg, dynamic.init_llava_params(jax.random.key(9), cfg), tc)
+    assert trainer2.maybe_resume()
+    assert trainer2.step == 2
+    np.testing.assert_array_equal(
+        np.asarray(trainer2.params["llm"]["layers"]["q"]),
+        np.asarray(trainer.params["llm"]["layers"]["q"]))
