@@ -31,13 +31,13 @@ from ..ops.attention import (
     attend,
     attend_with_policy,
     decode_attend_appended,
+    extend_attend_appended,
     make_attention_mask,
     self_attend,
     sliding_window_mask,
 )
 from ..ops.kv_cache import (
     KVCache,
-    dequantize_kv,
     quantize_kv,
     write_token_layers,
     write_token_scales,
@@ -657,19 +657,23 @@ def run_layers_extend(
     # ~18% of a 7B decode step) — this is the multi-round/speculative hot
     # path, so it gets the same treatment.
     def body(x, xs):
+        # segment-form attention (extend_attend_appended): the cache is
+        # never concatenated with the chunk (a full cache copy per layer)
+        # and int8-KV scales fold into scores/probs instead of a
+        # dequant that XLA materializes (see run_layers_decode)
         if quantized:
             li, ck_l, cv_l, sk_l, sv_l = xs
-            k_old = dequantize_kv(ck_l, sk_l, x.dtype)
-            v_old = dequantize_kv(cv_l, sv_l, x.dtype)
+            k_old, v_old = ck_l, cv_l
         else:
             li, ck_l, cv_l = xs
+            sk_l = sv_l = None
             k_old, v_old = ck_l.astype(x.dtype), cv_l.astype(x.dtype)
         lp = index_layer(layers, li + lo)
         h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
         q, k, v = _qkv(lp, cfg, h, positions)
-        k_cat = jnp.concatenate([k_old, k], axis=1)
-        v_cat = jnp.concatenate([v_old, v], axis=1)
-        o = attend(q, k_cat, v_cat, mask=mask)
+        o = extend_attend_appended(
+            q, k_old, v_old, k, v, mask, k_scale=sk_l, v_scale=sv_l
+        )
         x = x + lora_proj(lp, "o", o.reshape(b, m, -1))
         hh = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
         x = x + _mlp(lp, hh)

@@ -293,6 +293,64 @@ def decode_attend(
     return attend(q, k_cache, v_cache, mask=mask, scale=scale)
 
 
+def _fold_kv_scales(scales: jax.Array, n_rep: int) -> jax.Array:
+    """[B, max_len, Hkv] per-vector int8-KV scales -> [B, H, 1, max_len]
+    fp32 multiplier over the score/probability row (see
+    decode_attend_appended: (q·(k·s)) == (q·k)·s, Σp(v·s) == Σ(p·s)v)."""
+    s = repeat_kv_heads(scales[..., None], n_rep)[..., 0]
+    return s.astype(jnp.float32).transpose(0, 2, 1)[:, :, None, :]
+
+
+def extend_attend_appended(
+    q: jax.Array,  # [B, M, H, d] chunk queries
+    k_cache: jax.Array,  # [B, max_len, Hkv, d] persisted (read-only; may be int8)
+    v_cache: jax.Array,  # [B, max_len, Hkv, d]
+    k_chunk: jax.Array,  # [B, M, Hkv, d] the chunk's fresh keys
+    v_chunk: jax.Array,  # [B, M, Hkv, d]
+    mask: jax.Array,  # [B, 1, M, max_len + M] bool (cache cols ++ chunk cols)
+    *,
+    scale: Optional[float] = None,
+    k_scale: Optional[jax.Array] = None,  # [B, max_len, Hkv] int8-KV scales
+    v_scale: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Chunk attention over cache ++ chunk WITHOUT concatenating the K/V.
+
+    The segment form of ``decode_attend_appended`` for M-token extends:
+    ``jnp.concatenate([cache, chunk])`` copied the full (multi-GB at 7B)
+    cache buffer per layer per pass; computing the two score segments
+    against the original buffers and summing the two PV products skips
+    that copy, and — for scaled-int8 storage — lets the per-vector scales
+    fold into the score row / probabilities so the int8 buffers feed the
+    matmuls as plain casts (the dequant-materialization fix, see
+    decode_attend_appended)."""
+    n_rep = q.shape[2] // k_cache.shape[2]
+    k_cache = repeat_kv_heads(k_cache, n_rep)
+    v_cache = repeat_kv_heads(v_cache, n_rep)
+    k_chunk = repeat_kv_heads(k_chunk, n_rep)
+    v_chunk = repeat_kv_heads(v_chunk, n_rep)
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    max_len = k_cache.shape[1]
+    logits_cache = _logits(q, k_cache.astype(q.dtype), scale)  # [B,H,M,max_len]
+    if k_scale is not None:
+        logits_cache = logits_cache * _fold_kv_scales(k_scale, n_rep)
+    logits_chunk = _logits(q, k_chunk, scale)  # [B, H, M, M]
+    logits = jnp.concatenate([logits_cache, logits_chunk], axis=-1)
+    logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    w = jax.nn.softmax(logits, axis=-1)
+    w_cache = w[..., :max_len]
+    if v_scale is not None:
+        w_cache = w_cache * _fold_kv_scales(v_scale, n_rep)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", w_cache, v_cache.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    ) + jnp.einsum(
+        "bhqk,bkhd->bqhd", w[..., max_len:], v_chunk,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
 def decode_attend_appended(
     q: jax.Array,  # [B, 1, H, d] current-step query
     k_cache: jax.Array,  # [B, max_len, Hkv, d] persisted tokens (read-only)
@@ -339,8 +397,7 @@ def decode_attend_appended(
     max_len = k_cache.shape[1]
 
     def fold(scales):  # [B, max_len, Hkv] -> [B, H, 1, max_len] fp32
-        s = repeat_kv_heads(scales[..., None], n_rep)[..., 0]
-        return s.astype(jnp.float32).transpose(0, 2, 1)[:, :, None, :]
+        return _fold_kv_scales(scales, n_rep)
 
     logits_cache = _logits(q, k_cache.astype(q.dtype), scale)
     if k_scale is not None:
