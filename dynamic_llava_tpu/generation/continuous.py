@@ -1,0 +1,240 @@
+"""Continuous batching: admit requests into live decode slots.
+
+The reference gets continuous batching by delegating to SGLang
+(/root/reference/llava/serve/sglang_worker.py) — a CUDA runtime this
+framework replaces natively. The window-batched ``serve.sglang_worker``
+already micro-batches concurrent requests; this engine closes the last
+gap to the real thing: a new request joins a RUNNING batch the moment a
+slot frees, instead of waiting for the current batch to finish.
+
+TPU-native shape: everything is static. The engine owns one batched
+``GenState`` with ``slots`` rows and fixed cache capacities; its decode
+loop is the same jitted chunked-stop program the Generator/chat path
+uses (per-slot ``active`` masks freeze finished rows in-graph). Admission
+is two device programs:
+
+1. the standard batch-1 ``dynamic.prefill`` into a fresh cache allocated
+   at the ENGINE's capacities (one compiled program per prompt bucket),
+2. ``splice_slot``: scatter that request's K/V/lengths/positions/logits
+   into the freed slot of the live batched state.
+
+Decode never stops or recompiles while requests come and go; tokens are
+greedy and bit-identical to a solo ``Generator.generate`` run of the
+same request (pinned by tests/test_continuous.py, including slot reuse).
+
+Greedy-only for now (temperature grouping stays the window-batcher's
+job); ``kv_overflow="drop"`` only (a ring slot's wrap bases are
+per-request state the splice does not carry yet).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LlavaConfig
+from ..models import dynamic
+from ..multimodal.fusion import plan_batch
+from ..ops.kv_cache import init_tiered_cache, splice_tiered_slot
+from .generate import GenerationConfig, Generator
+
+
+class Request:
+    """Host-side request record."""
+
+    def __init__(self, req_id: int, token_ids: np.ndarray,
+                 pixel_values: Optional[np.ndarray], max_new: int):
+        self.id = req_id
+        self.token_ids = token_ids
+        self.pixel_values = pixel_values
+        self.max_new = max_new
+        self.output: List[int] = []
+        self.done = False
+
+
+class ContinuousEngine:
+    """Slot-based continuous batching over a fixed decode program.
+
+    ``prompt_bucket`` bounds (and buckets) prompt lengths; ``max_new_cap``
+    bounds any request's ``max_new_tokens``. Both size the shared cache
+    capacities — admission rejects requests that exceed them.
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: LlavaConfig,
+        gen_cfg: GenerationConfig = GenerationConfig(),
+        *,
+        slots: int = 4,
+        prompt_bucket: int = 128,
+        max_new_cap: int = 256,
+        with_images: bool = True,
+    ):
+        assert gen_cfg.temperature == 0.0, "continuous engine is greedy-only"
+        assert gen_cfg.kv_overflow == "drop"
+        self.cfg = cfg
+        self.gen = Generator(params, cfg, gen_cfg)
+        self.gc = gen_cfg
+        self.slots = slots
+        self.prompt_bucket = prompt_bucket
+        chunk = max(1, min(gen_cfg.decode_chunk, max_new_cap))
+        # whole chunks so the final chunk's overshoot has cache room
+        self.chunk = chunk
+        self.max_new_cap = -(-max_new_cap // chunk) * chunk
+        # capacities sized for the worst admissible request: image present
+        # (longest fused prompt) and NO image-prune shrink assumed for the
+        # post tier (a text-only request keeps every prompt token)
+        n_img = cfg.num_image_tokens if with_images else 0
+        seq_len_max = prompt_bucket + (n_img - 1 if n_img else 0)
+        pre_cap, post_cap = dynamic.gen_cache_sizes(
+            cfg, seq_len_max, self.max_new_cap,
+            bound_output_budget=gen_cfg.bound_kv_budget,
+            all_have_image=False,
+            bucket=gen_cfg.pad_multiple,
+        )
+        self.pre_cap, self.post_cap = pre_cap, post_cap
+        self.cache_dtype = jnp.dtype(gen_cfg.cache_dtype)
+
+        cache = init_tiered_cache(
+            cfg.text, cfg.sparse.sparse_layer, slots, pre_cap, post_cap,
+            self.cache_dtype,
+        )
+        self.state = dynamic.GenState(
+            cache=cache,
+            next_pos=jnp.zeros((slots,), jnp.int32),
+            last_logits=jnp.zeros((slots, cfg.text.vocab_size), jnp.float32),
+        )
+        self._chunk_fn, self._k_hist = self.gen._decode_chunk_stop_fn(
+            chunk, ((gen_cfg.eos_token_id,),)
+        )
+        self._splice = jax.jit(self._splice_impl, donate_argnums=(0,))
+        # per-slot device vectors driven from the host between chunks
+        self.active = jnp.zeros((slots,), bool)
+        self.hist = jnp.full((slots, self._k_hist), -7, jnp.int32)
+        self.n_emit = jnp.zeros((slots,), jnp.int32)
+        self.limit = jnp.zeros((slots,), jnp.int32)
+        self._slot_req: List[Optional[int]] = [None] * slots
+        self.requests: Dict[int, Request] = {}
+        self._queue: List[Request] = []
+        self._ids = itertools.count()
+        self._rng = jax.random.key(gen_cfg.seed)
+
+    # -- admission -----------------------------------------------------------
+
+    @staticmethod
+    def _splice_impl(state: dynamic.GenState, state1: dynamic.GenState,
+                     slot):
+        return dynamic.GenState(
+            cache=splice_tiered_slot(state.cache, state1.cache, slot),
+            next_pos=jax.lax.dynamic_update_slice(
+                state.next_pos, state1.next_pos, (slot,)),
+            last_logits=jax.lax.dynamic_update_slice(
+                state.last_logits, state1.last_logits, (slot, 0)),
+        )
+
+    def submit(self, token_ids: np.ndarray,
+               pixel_values: Optional[np.ndarray] = None,
+               max_new_tokens: Optional[int] = None) -> int:
+        """Queue a request; it enters the running batch at the next free
+        slot. Returns the request id."""
+        max_new = int(max_new_tokens or self.gc.max_new_tokens)
+        if max_new > self.max_new_cap:
+            raise ValueError(f"max_new {max_new} > engine cap {self.max_new_cap}")
+        if len(token_ids) > self.prompt_bucket:
+            raise ValueError(
+                f"prompt {len(token_ids)} > bucket {self.prompt_bucket}")
+        req = Request(next(self._ids), np.asarray(token_ids), pixel_values,
+                      max_new)
+        self.requests[req.id] = req
+        self._queue.append(req)
+        return req.id
+
+    def _free_slots(self) -> List[int]:
+        return [i for i, r in enumerate(self._slot_req) if r is None]
+
+    def _admit(self, slot: int, req: Request) -> None:
+        has_image = req.pixel_values is not None
+        plan = plan_batch(
+            [req.token_ids],
+            self.cfg.num_image_tokens if has_image else 0,
+            max_length=self.cfg.model_max_length,
+            pad_to=self.prompt_bucket,
+        )
+        cache1 = init_tiered_cache(
+            self.cfg.text, self.cfg.sparse.sparse_layer, 1,
+            self.pre_cap, self.post_cap, self.cache_dtype,
+        )
+        pixels = (
+            None if not has_image else jnp.asarray(req.pixel_values[None]
+            if req.pixel_values.ndim == 3 else req.pixel_values)
+        )
+        state1, _ = self.gen._prefill(
+            self.gen.params, self.cfg,
+            jnp.asarray(plan.token_ids), jnp.asarray(plan.is_image),
+            jnp.asarray(plan.image_slot), jnp.asarray(plan.valid_len),
+            jnp.asarray(plan.spans.image_start),
+            jnp.asarray(plan.spans.last_instruct_start),
+            jnp.asarray(plan.spans.last_instruct_end),
+            jnp.asarray(plan.spans.has_image),
+            pixels, cache1,
+            all_have_image=has_image, ring_mode=False,
+        )
+        s = jnp.int32(slot)
+        self.state = self._splice(self.state, state1, s)
+        self.active = self.active.at[slot].set(True)
+        self.hist = self.hist.at[slot].set(-7)
+        self.n_emit = self.n_emit.at[slot].set(0)
+        self.limit = self.limit.at[slot].set(req.max_new)
+        self._slot_req[slot] = req.id
+
+    def _fill_slots(self) -> None:
+        for slot in self._free_slots():
+            if not self._queue:
+                break
+            self._admit(slot, self._queue.pop(0))
+
+    # -- the decode loop ------------------------------------------------------
+
+    def step(self) -> Dict[int, List[int]]:
+        """Admit queued requests into free slots, decode ONE chunk, and
+        return the fresh tokens per request id. Finished requests are
+        retired (slot freed) before returning."""
+        self._fill_slots()
+        if not any(r is not None for r in self._slot_req):
+            return {}
+        self._rng, krng = jax.random.split(self._rng)
+        (self.state, self.active, self.hist, self.n_emit,
+         toks, emitted) = self._chunk_fn(
+            self.gen.params, self.state, krng, self.active, self.hist,
+            self.n_emit, self.limit,
+        )
+        toks_np = np.asarray(toks)  # [chunk, slots] — one host sync
+        emitted_np = np.asarray(emitted)
+        active_np = np.asarray(self.active)
+        fresh: Dict[int, List[int]] = {}
+        for slot, rid in enumerate(self._slot_req):
+            if rid is None:
+                continue
+            req = self.requests[rid]
+            new = [int(t) for t, e in
+                   zip(toks_np[:, slot], emitted_np[:, slot]) if e]
+            if new:
+                req.output.extend(new)
+                fresh[rid] = new
+            if not active_np[slot]:
+                req.done = True
+                self._slot_req[slot] = None
+        return fresh
+
+    def run_until_drained(self, max_steps: int = 10_000) -> None:
+        for _ in range(max_steps):
+            self.step()
+            if not self._queue and all(r is None for r in self._slot_req):
+                return
+        raise RuntimeError("engine did not drain")

@@ -146,6 +146,37 @@ def init_tiered_cache(
     )
 
 
+def splice_cache_slot(dst: KVCache, src: KVCache, slot) -> KVCache:
+    """Write a batch-1 cache into batch slot ``slot`` of a batched cache.
+
+    The admission primitive for continuous batching
+    (``generation.continuous``): a freshly prefilled request's K/V,
+    scales, and lengths replace whatever a retired request left in the
+    slot. ``slot`` may be traced, so one jitted program serves every
+    slot. Shapes (layers, capacity, dtype) must match — the engine
+    allocates its per-request prefill caches at the batched cache's
+    capacities for exactly this reason."""
+    assert src.batch == 1 and src.num_layers == dst.num_layers
+    assert src.max_len == dst.max_len and src.quantized == dst.quantized
+    k = jax.lax.dynamic_update_slice(dst.k, src.k, (0, slot, 0, 0, 0))
+    v = jax.lax.dynamic_update_slice(dst.v, src.v, (0, slot, 0, 0, 0))
+    length = jax.lax.dynamic_update_slice(dst.length, src.length, (0, slot))
+    if not dst.quantized:
+        return KVCache(k=k, v=v, length=length)
+    sk = jax.lax.dynamic_update_slice(
+        dst.k_scale, src.k_scale, (0, slot, 0, 0))
+    sv = jax.lax.dynamic_update_slice(
+        dst.v_scale, src.v_scale, (0, slot, 0, 0))
+    return KVCache(k=k, v=v, length=length, k_scale=sk, v_scale=sv)
+
+
+def splice_tiered_slot(dst: TieredCache, src: TieredCache, slot) -> TieredCache:
+    return TieredCache(
+        pre=splice_cache_slot(dst.pre, src.pre, slot),
+        post=splice_cache_slot(dst.post, src.post, slot),
+    )
+
+
 def write_prefill(
     k_layer: jax.Array,  # [B, max_len, Hkv, d] cache slice for one layer
     v_layer: jax.Array,

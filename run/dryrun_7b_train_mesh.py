@@ -193,7 +193,105 @@ def phase_a_full_7b_compile(mesh, report):
     print("phase A (7B compile):", report, flush=True)
 
 
+def phase_p_pipeline(report):
+    """GPipe pipeline evidence at 7B scale (--pipe):
+
+    P1. Execute one real pipelined train step at 7B WIDTH (4 layers,
+        pipe=2 over 2 devices, 2 microbatches) — real ppermute schedule,
+        real grads through the transposed pipeline.
+    P2. Compile the FULL 32-layer 7B pipelined step on the 8-device
+        (fsdp=2 x tensor=2 x pipe=2) mesh from zero-filled sharded
+        buffers and report XLA's per-device memory analysis — the
+        program a v5e-8 would run with 4-axis parallelism.
+    """
+    from dynamic_llava_tpu.parallel.pipeline import (
+        make_layer_runner,
+        permute_stack,
+        plan_pipeline,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def pieces(cfg, params_or_shapes, mesh, plan):
+        optimizer = make_optimizer(
+            base_lr=5e-6, predictor_lr=2e-4,
+            lr_schedule=cosine_with_warmup(5e-6, 1000, 0.03),
+            predictor_lr_schedule=cosine_with_warmup(2e-4, 1000, 0.03),
+        )
+        specs = llava_param_specs(cfg, params_or_shapes, pipe=True)
+        labels = label_params(params_or_shapes)
+        step = make_train_step(
+            cfg, optimizer, mesh=mesh, param_specs=specs,
+            remat=True, grad_accum_steps=1, labels=labels,
+            layer_runner=make_layer_runner(mesh, plan),
+        )
+        return optimizer, specs, step
+
+    # ---- P1: real pipelined step at 7B width ----
+    t0 = time.time()
+    mesh_p = make_mesh(data=1, fsdp=1, tensor=1, pipe=2,
+                       devices=jax.devices()[:2])
+    cfgp = build_cfg(4)
+    plan_small = plan_pipeline(4, cfgp.sparse.sparse_layer, stages=2,
+                               microbatches=2)
+    params = dynamic.init_llava_params(jax.random.key(0), cfgp, jnp.bfloat16)
+    params["llm"] = dict(params["llm"])
+    params["llm"]["layers"] = permute_stack(
+        params["llm"]["layers"], plan_small.order)
+    optimizer, specs, step = pieces(cfgp, params, mesh_p, plan_small)
+    params = shard_params(params, mesh_p, specs)
+    opt_state = optimizer.init(params)
+    batch = shard_batch(batch_for(cfgp, BATCH_EXEC, TEXT_LEN_EXEC), mesh_p)
+    with mesh_p:
+        params, opt_state, metrics = step(
+            params, opt_state, batch, jax.random.key(1), jnp.float32(1.0))
+        loss = float(metrics["loss"])
+    assert np.isfinite(loss), loss
+    report["phase_p_exec_loss"] = round(loss, 4)
+    report["phase_p_exec_s"] = round(time.time() - t0, 1)
+    print("phase P1 (7B-width pipelined step, pipe=2): loss", loss,
+          flush=True)
+    del params, opt_state
+
+    # ---- P2: full 32-layer 7B pipelined compile on fsdp x tensor x pipe ----
+    t0 = time.time()
+    mesh8 = make_mesh(data=1, fsdp=2, tensor=2, pipe=2)
+    cfg7 = build_cfg(FULL_LAYERS)
+    plan7 = plan_pipeline(FULL_LAYERS, cfg7.sparse.sparse_layer, stages=2,
+                          microbatches=2)
+    shapes7 = jax.eval_shape(
+        lambda k: dynamic.init_llava_params(k, cfg7, jnp.bfloat16),
+        jax.random.key(0))
+    optimizer, specs, step = pieces(cfg7, shapes7, mesh8, plan7)
+    out_sh = jax.tree.map(
+        lambda spec: NamedSharding(mesh8, spec), specs,
+        is_leaf=lambda x: isinstance(x, P))
+    zero_fn = jax.jit(
+        lambda: jax.tree.map(lambda sh: jnp.zeros(sh.shape, sh.dtype),
+                             shapes7),
+        out_shardings=out_sh)
+    with mesh8:
+        params7 = jax.block_until_ready(zero_fn())
+        opt7 = jax.block_until_ready(jax.jit(optimizer.init)(params7))
+        batch = shard_batch(batch_for(cfg7, BATCH, TEXT_LEN), mesh8)
+        compiled = step.lower(
+            params7, opt7, batch, jax.random.key(1), jnp.float32(1.0)
+        ).compile()
+    mem = compiled.memory_analysis()
+    report["phase_p_compile_s"] = round(time.time() - t0, 1)
+    if mem is not None:
+        alias = getattr(mem, "alias_size_in_bytes", 0)
+        report["phase_p_per_device_hbm_gb"] = round(
+            (mem.argument_size_in_bytes + mem.output_size_in_bytes
+             + mem.temp_size_in_bytes - alias) / 2**30, 2)
+    print("phase P2 (full 7B pipelined compile):", report, flush=True)
+
+
 def main():
+    if "--pipe" in sys.argv:
+        report = {}
+        phase_p_pipeline(report)
+        print(json.dumps(report))
+        return
     if "--only-full-compile" in sys.argv:
         mesh = make_mesh(data=2, fsdp=2, tensor=2)
         report = {}

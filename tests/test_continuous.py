@@ -1,0 +1,129 @@
+"""Continuous batching (generation/continuous.py): requests admitted into
+a RUNNING batch produce exactly the tokens a solo Generator.generate run
+produces — including slot reuse after retirement and mixed
+text-only/image admissions."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from dynamic_llava_tpu.config import LlavaConfig, SparseConfig
+from dynamic_llava_tpu.generation.continuous import ContinuousEngine
+from dynamic_llava_tpu.generation.generate import GenerationConfig, Generator
+from dynamic_llava_tpu.models import dynamic
+
+
+def _cfg():
+    sparse = SparseConfig(
+        d_model=32, nhead=2, dim_feedforward=64, num_layers=1,
+        use_vision_predictor=True, use_text_predictor=False,
+        use_output_text_predictor=True, use_instruct_predictor=False,
+    )
+    return LlavaConfig.tiny(sparse=sparse)
+
+
+def _gc(**kw):
+    return GenerationConfig(
+        max_new_tokens=kw.pop("max_new_tokens", 16),
+        decode_chunk=kw.pop("decode_chunk", 4),
+        pad_multiple=8, **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = _cfg()
+    params = dynamic.init_llava_params(jax.random.key(0), cfg)
+    return cfg, params
+
+
+def _prompt(seed, n):
+    rng = np.random.default_rng(seed)
+    return rng.integers(3, 200, size=(n,)).astype(np.int64)
+
+
+def _solo(cfg, params, prompt, max_new, prompt_bucket, pixels=None):
+    """Reference: solo greedy generation for one request, padded to the
+    engine's prompt bucket so prefill sees identical shapes."""
+    gen = Generator(params, cfg, _gc(max_new_tokens=max_new))
+    return gen.generate([prompt], pixels, pad_to=prompt_bucket)[0]
+
+
+def test_staggered_admission_matches_solo(setup):
+    cfg, params = setup
+    engine = ContinuousEngine(
+        params, cfg, _gc(), slots=2, prompt_bucket=24, max_new_cap=16,
+        with_images=False,
+    )
+    prompts = [_prompt(1, 7), _prompt(2, 12), _prompt(3, 19)]
+    max_news = [16, 6, 10]
+
+    # r0 starts alone, r1 joins mid-flight, r2 must WAIT for a freed slot
+    r0 = engine.submit(prompts[0], max_new_tokens=max_news[0])
+    engine.step()
+    r1 = engine.submit(prompts[1], max_new_tokens=max_news[1])
+    r2 = engine.submit(prompts[2], max_new_tokens=max_news[2])
+    assert engine._slot_req.count(None) == 1  # r1 not admitted yet
+    engine.run_until_drained()
+
+    for rid, prompt, max_new in zip((r0, r1, r2), prompts, max_news):
+        got = engine.requests[rid].output
+        want = _solo(cfg, params, prompt, max_new, 24)
+        assert got == want, (rid, got, want)
+        assert engine.requests[rid].done
+    # all slots freed
+    assert engine._slot_req == [None, None]
+
+
+def test_slot_reuse_overwrites_stale_state(setup):
+    """A request admitted into a slot that previously held a LONGER
+    generation must not see any of its leftovers."""
+    cfg, params = setup
+    engine = ContinuousEngine(
+        params, cfg, _gc(), slots=1, prompt_bucket=24, max_new_cap=16,
+        with_images=False,
+    )
+    long_req = engine.submit(_prompt(5, 20), max_new_tokens=16)
+    engine.run_until_drained()
+    short_req = engine.submit(_prompt(6, 4), max_new_tokens=5)
+    engine.run_until_drained()
+
+    assert engine.requests[long_req].output == _solo(
+        cfg, params, _prompt(5, 20), 16, 24)
+    assert engine.requests[short_req].output == _solo(
+        cfg, params, _prompt(6, 4), 5, 24)
+
+
+def test_mixed_image_and_text_requests(setup):
+    cfg, params = setup
+    rng = np.random.default_rng(7)
+    img = rng.normal(
+        size=(cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    ids_img = _prompt(8, 9)
+    ids_img[1] = -200  # image token
+    ids_txt = _prompt(9, 11)
+
+    engine = ContinuousEngine(
+        params, cfg, _gc(), slots=2, prompt_bucket=24, max_new_cap=8,
+    )
+    ri = engine.submit(ids_img, pixel_values=img, max_new_tokens=8)
+    rt = engine.submit(ids_txt, max_new_tokens=8)
+    engine.run_until_drained()
+
+    assert engine.requests[ri].output == _solo(
+        cfg, params, ids_img, 8, 24, pixels=img[None])
+    assert engine.requests[rt].output == _solo(cfg, params, ids_txt, 8, 24)
+
+
+def test_rejects_oversized(setup):
+    cfg, params = setup
+    engine = ContinuousEngine(
+        params, cfg, _gc(), slots=1, prompt_bucket=16, max_new_cap=8,
+        with_images=False,
+    )
+    with pytest.raises(ValueError):
+        engine.submit(_prompt(1, 17))
+    with pytest.raises(ValueError):
+        engine.submit(_prompt(1, 8), max_new_tokens=64)
