@@ -132,7 +132,7 @@ def layer_stack_specs(layers):
 
 def _sweep(
     layers_local,
-    x_mb,  # [M, mb, S, D] replicated over pipe
+    x_mb,  # [M, mb, S, D] replicated over pipe — fp32 at the boundary
     positions_mb,  # [M, mb, S]
     policy_mb,  # [M, mb, S] or None (static)
     *,
@@ -141,7 +141,17 @@ def _sweep(
     sweep_pre: bool,
     remat: bool,
     remat_policy: str,
+    compute_dtype,
 ):
+    # x crosses the shard_map boundary — and stays, until each tick's
+    # varying `where` — in fp32: every UNVARYING value's cotangent is
+    # all-reduced over 'pipe' in the transpose, and XLA:CPU's
+    # AllReducePromotion pass crashes outright on any bf16 all-reduce
+    # whose reduction body carries a sharding constraint ("Invalid
+    # binary instruction opcode copy" — CloneAllReduce treats the body
+    # root as a binary op). fp32 all-reduces skip the promotion pass
+    # entirely, and every bf16<->fp32 roundtrip here is exact, so
+    # numerics are unchanged on all backends.
     stages, M = plan.stages, plan.microbatches
     per = plan.num_layers // stages
     idx = jax.lax.axis_index("pipe")
@@ -180,7 +190,11 @@ def _sweep(
         # Warmup/drain ticks compute on zeros/stale values that are never
         # emitted (masked by the last-stage psum below).
         m = jnp.clip(t - idx, 0, M - 1)
-        x = jnp.where(idx == 0, x_mb[jnp.minimum(t, M - 1)], state)
+        x = jnp.where(
+            idx == 0,
+            x_mb[jnp.minimum(t, M - 1)],  # fp32 until varying (see above)
+            state.astype(jnp.float32),
+        ).astype(compute_dtype)
 
         def body(x, j):
             return layer_step(x, j, m), None
@@ -192,15 +206,27 @@ def _sweep(
         )
         return nxt, x
 
+    # fp32 through the pcast for the same reason as the boundary cast:
+    # the transpose of to-varying is a psum over 'pipe', and the initial
+    # carry's cotangent includes every tick's state gradient
     state0 = jax.lax.pcast(
-        jnp.zeros_like(x_mb[0]), ("pipe",), to="varying"
-    )
+        jnp.zeros(x_mb.shape[1:], jnp.float32), ("pipe",), to="varying"
+    ).astype(compute_dtype)
     _, ys = jax.lax.scan(tick, state0, jnp.arange(ticks, dtype=jnp.int32))
     # microbatch m completes on the last stage at tick m + P - 1
     out = ys[stages - 1 : stages - 1 + M]
-    return jax.lax.psum(
-        jnp.where(idx == stages - 1, out, jnp.zeros_like(out)), "pipe"
+    # The masked psum (sum of one non-zero stage) runs in fp32: a bf16
+    # psum here crashes XLA:CPU's partial-manual partitioner outright
+    # ("Invalid binary instruction opcode copy" — probed op-by-op: the
+    # psum is the trigger, ppermute/scan/matmuls are fine, and the bug
+    # needs BOTH bf16 and auto axes in the mesh). The bf16->fp32->bf16
+    # roundtrip is exact, so semantics are unchanged on every backend.
+    acc = jnp.where(
+        idx == stages - 1,
+        out.astype(jnp.float32),
+        jnp.zeros(out.shape, jnp.float32),
     )
+    return jax.lax.psum(acc, "pipe").astype(out.dtype)
 
 
 def make_layer_runner(mesh: Mesh, plan: PipePlan):
@@ -243,7 +269,7 @@ def make_layer_runner(mesh: Mesh, plan: PipePlan):
         M = plan.microbatches
         assert b % M == 0, (b, M)
         mb = b // M
-        x_mb = x.reshape(M, mb, s, d)
+        x_mb = x.reshape(M, mb, s, d).astype(jnp.float32)  # see _sweep note
         pos_mb = positions.reshape(M, mb, s)
         args = [x_mb, pos_mb]
         in_specs = [layer_stack_specs(params["layers"]), P(), P()]
@@ -262,6 +288,7 @@ def make_layer_runner(mesh: Mesh, plan: PipePlan):
                 sweep_pre=sweep_pre,
                 remat=remat,
                 remat_policy=remat_policy,
+                compute_dtype=x.dtype,
             )
 
         fn = jax.shard_map(

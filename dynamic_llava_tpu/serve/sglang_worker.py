@@ -54,7 +54,9 @@ class BatchedWorker:
                  decode_chunk: int = 32,
                  controller_addr: str = "", worker_addr: str = "",
                  model_name: Optional[str] = None, no_register: bool = True,
-                 spec_k: int = 0):
+                 spec_k: int = 0,
+                 continuous: bool = False, slots: int = 4,
+                 prompt_bucket: int = 768, max_new_cap: int = 512):
         from ..mm_utils import get_model_name_from_path
         from ..models.builder import load_pretrained_model
 
@@ -73,7 +75,29 @@ class BatchedWorker:
         self._generators: dict = {}  # (max_new, temperature) -> Generator
         self.last_batch_size = 0  # observability: size of the last micro-batch
         self.lock = threading.Lock()
-        self.thread = threading.Thread(target=self._loop, daemon=True)
+        # --continuous: requests join a RUNNING batch the moment a slot
+        # frees (generation.continuous) instead of waiting for the window
+        # batch to finish. Greedy-only — sampled requests are refused.
+        self.continuous = continuous
+        self._engine = None
+        if continuous:
+            from ..generation.continuous import ContinuousEngine
+            from ..generation.generate import GenerationConfig
+
+            self._engine = ContinuousEngine(
+                self.runtime.params, self.runtime.cfg,
+                GenerationConfig(
+                    max_new_tokens=max_new_cap,
+                    eos_token_id=self.tokenizer.eos_token_id,
+                    decode_chunk=decode_chunk,
+                ),
+                slots=slots, prompt_bucket=prompt_bucket,
+                max_new_cap=max_new_cap,
+            )
+        self.thread = threading.Thread(
+            target=self._loop_continuous if continuous else self._loop,
+            daemon=True,
+        )
         self.thread.start()
         if not no_register:
             self.register_to_controller()
@@ -171,6 +195,99 @@ class BatchedWorker:
                         ).encode() + b"\0"
                     )
                     req.push(None)
+
+    def _request_inputs(self, req: Request):
+        """(token_ids, pixels | None, max_new, temperature) for one request."""
+        import base64
+        from io import BytesIO
+
+        from PIL import Image
+
+        from ..mm_utils import process_images, tokenizer_image_token
+
+        p = req.params
+        ids = np.asarray(
+            tokenizer_image_token(p["prompt"], self.tokenizer), np.int64
+        )
+        pixels = None
+        images = p.get("images") or []
+        if images:
+            pil = Image.open(BytesIO(base64.b64decode(images[0]))).convert("RGB")
+            pixels = process_images(
+                [pil], self.image_processor, self.runtime.cfg
+            )[0]
+        max_new = min(int(p.get("max_new_tokens", 256)), 1024)
+        temp = float(p.get("temperature", 0.0))
+        return ids, pixels, max_new, temp
+
+    def _loop_continuous(self):
+        """Slot-based loop: drain the queue into free engine slots, decode
+        one chunk, stream fresh tokens per request. The decode program
+        never stops or recompiles while requests come and go."""
+        eng = self._engine
+        live: dict = {}  # engine req id -> (Request, accumulated ids)
+        while True:
+            with self.lock:
+                incoming, self.pending = self.pending, []
+            for req in incoming:
+                try:
+                    ids, pixels, max_new, temp = self._request_inputs(req)
+                    if temp > 0.0:
+                        raise ValueError(
+                            "continuous mode is greedy-only; "
+                            "use the window-batched worker for sampling"
+                        )
+                    rid = eng.submit(
+                        ids, pixel_values=pixels, max_new_tokens=max_new
+                    )
+                    live[rid] = (req, [])
+                except Exception as e:  # noqa: BLE001
+                    logger.error(f"admission failed: {e}")
+                    req.push(
+                        json.dumps(
+                            {"text": server_error_msg, "error_code": 1}
+                        ).encode() + b"\0"
+                    )
+                    req.push(None)
+            if not live:
+                time.sleep(self.batch_window_ms / 1e3)
+                continue
+            self.last_batch_size = sum(
+                r is not None for r in eng._slot_req
+            )
+            try:
+                fresh = eng.step()
+            except Exception as e:  # noqa: BLE001
+                logger.error(f"engine step failed: {e}")
+                for rid, (req, _) in live.items():
+                    req.push(
+                        json.dumps(
+                            {"text": server_error_msg, "error_code": 1}
+                        ).encode() + b"\0"
+                    )
+                    req.push(None)
+                    eng.requests.pop(rid, None)
+                live.clear()
+                continue
+            for rid, toks in fresh.items():
+                req, acc = live[rid]
+                acc.extend(toks)
+                req.push(
+                    json.dumps(
+                        {"text": self._decode_text(req, acc),
+                         "error_code": 0}
+                    ).encode() + b"\0"
+                )
+            for rid in [r for r in live if eng.requests[r].done]:
+                req, acc = live.pop(rid)
+                req.push(
+                    json.dumps(
+                        {"text": self._decode_text(req, acc),
+                         "error_code": 0}
+                    ).encode() + b"\0"
+                )
+                req.push(None)
+                del eng.requests[rid]
 
     def _decode_text(self, req: Request, out_ids: List[int]) -> str:
         eos = self.tokenizer.eos_token_id
@@ -335,6 +452,16 @@ def main(argv=None):
     parser.add_argument("--spec-k", type=int, default=0,
                         help="speculative decoding for greedy micro-batches"
                              " (verify 1+k candidates per pass; 0 = off)")
+    parser.add_argument("--continuous", action="store_true",
+                        help="slot-based continuous batching: requests join "
+                             "the running batch when a slot frees "
+                             "(greedy-only)")
+    parser.add_argument("--slots", type=int, default=4,
+                        help="decode slots for --continuous")
+    parser.add_argument("--prompt-bucket", type=int, default=768,
+                        help="max (and padded) prompt length for --continuous")
+    parser.add_argument("--max-new-cap", type=int, default=512,
+                        help="per-request max_new_tokens cap for --continuous")
     args = parser.parse_args(argv)
 
     worker = BatchedWorker(
@@ -344,6 +471,8 @@ def main(argv=None):
         worker_addr=args.worker_address,
         model_name=args.model_name, no_register=args.no_register,
         spec_k=args.spec_k,
+        continuous=args.continuous, slots=args.slots,
+        prompt_bucket=args.prompt_bucket, max_new_cap=args.max_new_cap,
     )
     uvicorn.run(build_app(worker), host=args.host, port=args.port)
 

@@ -313,3 +313,58 @@ def test_trainer_pipeline_mode(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(trainer2.params["llm"]["layers"]["q"]),
         np.asarray(trainer.params["llm"]["layers"]["q"]))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 virtual devices")
+def test_pipeline_bf16_grads_compile_and_match():
+    """bf16 pipeline forward+grads — pinned because XLA:CPU's
+    AllReducePromotion pass crashes on any bf16 all-reduce out of the
+    partial-manual transpose ("Invalid binary instruction opcode copy");
+    the sweep routes every unvarying value and psum through fp32 (exact
+    roundtrips) to keep the program bf16-collective-free."""
+    cfg = _tcfg(layers=4, sl=2)
+    plan = plan_pipeline(4, 2, stages=2, microbatches=2)
+    mesh = make_mesh(data=1, fsdp=1, tensor=1, pipe=2,
+                     devices=jax.devices()[:2])
+    params = llama.init_llama_params(jax.random.key(0), cfg, jnp.bfloat16)
+    b, s = 4, 10
+    x = jax.random.normal(jax.random.key(1), (b, s, cfg.hidden_size),
+                          jnp.bfloat16)
+    positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None],
+                                 (b, s))
+    pol = (jax.random.uniform(jax.random.key(2), (b, s)) > 0.3
+           ).astype(jnp.float32)
+
+    pparams = dict(params)
+    pparams["layers"] = permute_stack(params["layers"], plan.order)
+    specs = llama_param_specs(cfg, pipe=True)
+    specs = {k: specs[k] for k in pparams}
+    pparams = shard_params(pparams, mesh, specs)
+    runner = make_layer_runner(mesh, plan)
+
+    def loss_pipe(layers_tree, xx):
+        p = dict(pparams)
+        p["layers"] = layers_tree
+        y = runner(p, cfg, xx, positions, lo=2, hi=4, training=True,
+                   remat=True, policy=pol)
+        return (y.astype(jnp.float32) ** 2).mean()
+
+    def loss_seq(layers_tree, xx):
+        p = dict(params)
+        p["layers"] = layers_tree
+        y = llama.run_layers_nocache(p, cfg, xx, positions, lo=2, hi=4,
+                                     training=True, policy=pol)
+        return (y.astype(jnp.float32) ** 2).mean()
+
+    with jax.set_mesh(mesh):
+        # grads wrt x exercise the transpose all-reduce that crashed
+        gp = jax.jit(jax.grad(loss_pipe, argnums=(0, 1)))(
+            pparams["layers"], x)
+    gs = jax.jit(jax.grad(loss_seq, argnums=(0, 1)))(params["layers"], x)
+    np.testing.assert_allclose(
+        np.asarray(gp[1].astype(jnp.float32)),
+        np.asarray(gs[1].astype(jnp.float32)), rtol=2e-2, atol=1e-5)
+    g_w = permute_stack(gp[0], inverse_order(plan.order))
+    np.testing.assert_allclose(
+        np.asarray(g_w["q"].astype(jnp.float32)),
+        np.asarray(gs[0]["q"].astype(jnp.float32)), rtol=5e-2, atol=2e-4)

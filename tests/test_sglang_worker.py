@@ -199,3 +199,58 @@ def test_error_chunk_on_bad_request(worker):
     })
     assert done.wait(120)
     assert chunks and chunks[-1]["error_code"] == 1
+
+
+def test_continuous_worker_matches_window_worker(worker, tmp_path_factory):
+    """--continuous mode: requests admitted into the running slot batch
+    stream the same greedy text the window-batched worker produces
+    (identical deterministic checkpoint), a late request joins while the
+    first is mid-flight, and sampled requests are refused."""
+    from helpers import make_tiny_checkpoint
+
+    from dynamic_llava_tpu.serve.sglang_worker import BatchedWorker
+
+    ckpt = make_tiny_checkpoint(
+        str(tmp_path_factory.mktemp("sglang_cont") / "ckpt")
+    )
+    cont = BatchedWorker(
+        ckpt, batch_window_ms=50, decode_chunk=4,
+        model_name="tiny-dynamic-llava",
+        continuous=True, slots=2, prompt_bucket=32, max_new_cap=12,
+    )
+    prompts = [
+        "USER : What is in the image ? ASSISTANT :",
+        "USER : Is there a dog ? ASSISTANT :",
+        "USER : describe briefly ASSISTANT :",
+    ]
+    refs = []
+    for p in prompts:
+        chunks, done = _collect(worker, {
+            "prompt": p, "temperature": 0.0, "max_new_tokens": 12,
+        })
+        assert done.wait(120)
+        refs.append(chunks[-1]["text"])
+
+    # 3 requests onto 2 slots: the third must wait for a retirement and
+    # join the RUNNING batch (no global drain between them)
+    streams = [
+        _collect(cont, {
+            "prompt": p, "temperature": 0.0, "max_new_tokens": 12,
+        })
+        for p in prompts
+    ]
+    for (chunks, done), ref in zip(streams, refs):
+        assert done.wait(180)
+        assert all(c["error_code"] == 0 for c in chunks)
+        for prev, nxt in zip(chunks, chunks[1:]):
+            assert nxt["text"].startswith(prev["text"][: len(nxt["text"])]) or \
+                len(prev["text"]) <= len(nxt["text"])
+        assert chunks[-1]["text"] == ref
+    assert cont.last_batch_size <= 2  # never more than the slot count
+
+    # sampled requests are refused in continuous mode
+    chunks, done = _collect(cont, {
+        "prompt": prompts[0], "temperature": 0.7, "max_new_tokens": 4,
+    })
+    assert done.wait(60)
+    assert chunks[-1]["error_code"] == 1
