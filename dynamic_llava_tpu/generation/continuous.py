@@ -120,6 +120,7 @@ class ContinuousEngine:
         self.n_emit = jnp.zeros((slots,), jnp.int32)
         self.limit = jnp.zeros((slots,), jnp.int32)
         self._slot_req: List[Optional[int]] = [None] * slots
+        self._inflight: List[tuple] = []  # dispatched, unprocessed chunks
         self.requests: Dict[int, Request] = {}
         self._queue: List[Request] = []
         self._ids = itertools.count()
@@ -128,14 +129,24 @@ class ContinuousEngine:
     # -- admission -----------------------------------------------------------
 
     @staticmethod
-    def _splice_impl(state: dynamic.GenState, state1: dynamic.GenState,
-                     slot):
-        return dynamic.GenState(
+    def _splice_impl(state: dynamic.GenState, active, hist, n_emit, limit,
+                     state1: dynamic.GenState, slot, max_new):
+        """One program per admission: splice the prefilled request into the
+        slot AND reset the slot's decode-loop vectors (separate eager
+        updates would pay one host round-trip each through the tunnel)."""
+        new_state = dynamic.GenState(
             cache=splice_tiered_slot(state.cache, state1.cache, slot),
             next_pos=jax.lax.dynamic_update_slice(
                 state.next_pos, state1.next_pos, (slot,)),
             last_logits=jax.lax.dynamic_update_slice(
                 state.last_logits, state1.last_logits, (slot, 0)),
+        )
+        return (
+            new_state,
+            active.at[slot].set(True),
+            hist.at[slot].set(-7),
+            n_emit.at[slot].set(0),
+            limit.at[slot].set(max_new),
         )
 
     def submit(self, token_ids: np.ndarray,
@@ -185,12 +196,11 @@ class ContinuousEngine:
             pixels, cache1,
             all_have_image=has_image, ring_mode=False,
         )
-        s = jnp.int32(slot)
-        self.state = self._splice(self.state, state1, s)
-        self.active = self.active.at[slot].set(True)
-        self.hist = self.hist.at[slot].set(-7)
-        self.n_emit = self.n_emit.at[slot].set(0)
-        self.limit = self.limit.at[slot].set(req.max_new)
+        (self.state, self.active, self.hist, self.n_emit,
+         self.limit) = self._splice(
+            self.state, self.active, self.hist, self.n_emit, self.limit,
+            state1, jnp.int32(slot), jnp.int32(req.max_new),
+        )
         self._slot_req[slot] = req.id
 
     def _fill_slots(self) -> None:
@@ -201,40 +211,70 @@ class ContinuousEngine:
 
     # -- the decode loop ------------------------------------------------------
 
-    def step(self) -> Dict[int, List[int]]:
-        """Admit queued requests into free slots, decode ONE chunk, and
-        return the fresh tokens per request id. Finished requests are
-        retired (slot freed) before returning."""
-        self._fill_slots()
-        if not any(r is not None for r in self._slot_req):
-            return {}
+    def _dispatch(self) -> None:
+        """Dispatch one chunk on the current device state (async — JAX
+        returns immediately; nothing is fetched here)."""
         self._rng, krng = jax.random.split(self._rng)
         (self.state, self.active, self.hist, self.n_emit,
          toks, emitted) = self._chunk_fn(
             self.gen.params, self.state, krng, self.active, self.hist,
             self.n_emit, self.limit,
         )
-        toks_np = np.asarray(toks)  # [chunk, slots] — one host sync
+        # snapshot slot ownership AS OF this dispatch: a slot re-admitted
+        # later must not swallow this chunk's (frozen, non-emitted) rows
+        self._inflight.append(
+            (toks, emitted, self.active, list(self._slot_req))
+        )
+
+    def _process_oldest(self) -> Dict[int, List[int]]:
+        toks, emitted, active_dev, slot_req = self._inflight.pop(0)
+        toks_np = np.asarray(toks)  # [chunk, slots] — the host sync
         emitted_np = np.asarray(emitted)
-        active_np = np.asarray(self.active)
+        active_np = np.asarray(active_dev)
         fresh: Dict[int, List[int]] = {}
-        for slot, rid in enumerate(self._slot_req):
+        for slot, rid in enumerate(slot_req):
             if rid is None:
                 continue
-            req = self.requests[rid]
+            # the caller may drop a retired request's record while a
+            # later-dispatched chunk still snapshots its slot
+            req = self.requests.get(rid)
+            if req is None:
+                continue
             new = [int(t) for t, e in
                    zip(toks_np[:, slot], emitted_np[:, slot]) if e]
             if new:
                 req.output.extend(new)
                 fresh[rid] = new
-            if not active_np[slot]:
+            if not active_np[slot] and not req.done:
                 req.done = True
-                self._slot_req[slot] = None
+                # free the slot only if it still belongs to this request
+                if self._slot_req[slot] == rid:
+                    self._slot_req[slot] = None
         return fresh
 
-    def run_until_drained(self, max_steps: int = 10_000) -> None:
+    def step(self) -> Dict[int, List[int]]:
+        """Admit queued requests into free slots, dispatch ONE decode
+        chunk, and return the fresh tokens of the oldest COMPLETED chunk
+        (one chunk behind the dispatch — the next chunk computes on
+        device while this one's tokens cross the host link, hiding the
+        ~29 ms tunnel round-trip exactly like ``Generator.generate``'s
+        pipelined loop). Finished requests are retired as their final
+        chunk is processed."""
+        self._fill_slots()
+        live = any(r is not None for r in self._slot_req)
+        if live:
+            self._dispatch()
+        if not self._inflight:
+            return {}
+        # keep one chunk in flight while live; drain fully once idle
+        if live and len(self._inflight) < 2:
+            return {}
+        return self._process_oldest()
+
+    def run_until_drained(self, max_steps: int = 100_000) -> None:
         for _ in range(max_steps):
             self.step()
-            if not self._queue and all(r is None for r in self._slot_req):
+            if (not self._queue and not self._inflight
+                    and all(r is None for r in self._slot_req)):
                 return
         raise RuntimeError("engine did not drain")

@@ -42,7 +42,6 @@ virtual CPU mesh (tests/test_pipeline.py).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import numpy as np

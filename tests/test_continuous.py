@@ -127,3 +127,24 @@ def test_rejects_oversized(setup):
         engine.submit(_prompt(1, 17))
     with pytest.raises(ValueError):
         engine.submit(_prompt(1, 8), max_new_tokens=64)
+
+
+def test_engine_int8_kv_cache(setup):
+    """Continuous engine over scaled-int8 KV storage: the slot splice
+    carries the per-vector scale planes too."""
+    cfg, params = setup
+    engine = ContinuousEngine(
+        params, cfg, _gc(cache_dtype="int8"), slots=2, prompt_bucket=16,
+        max_new_cap=8, with_images=False,
+    )
+    p0, p1 = _prompt(11, 6), _prompt(12, 10)
+    r0 = engine.submit(p0, max_new_tokens=8)
+    engine.step()
+    r1 = engine.submit(p1, max_new_tokens=8)
+    engine.run_until_drained()
+
+    for rid, prompt in ((r0, p0), (r1, p1)):
+        gen = Generator(params, cfg, _gc(max_new_tokens=8,
+                                         cache_dtype="int8"))
+        want = gen.generate([prompt], pad_to=16)[0]
+        assert engine.requests[rid].output == want
