@@ -220,17 +220,32 @@ class ContinuousEngine:
             self.gen.params, self.state, krng, self.active, self.hist,
             self.n_emit, self.limit,
         )
+        # pack tokens + emitted flags + end-of-chunk active flags into ONE
+        # int32 array: each np.asarray is its own device->host fetch and
+        # pays the full ~25 ms tunnel round-trip — three fetches per chunk
+        # cost more than the chunk's device time at 1B/B=8
+        chunk_rows = toks.shape[0]
+        packed = jnp.concatenate(
+            [
+                toks.astype(jnp.int32),
+                emitted.astype(jnp.int32),
+                jnp.broadcast_to(
+                    self.active.astype(jnp.int32)[None],
+                    (1, toks.shape[1]),
+                ),
+            ],
+            axis=0,
+        )
         # snapshot slot ownership AS OF this dispatch: a slot re-admitted
         # later must not swallow this chunk's (frozen, non-emitted) rows
-        self._inflight.append(
-            (toks, emitted, self.active, list(self._slot_req))
-        )
+        self._inflight.append((packed, chunk_rows, list(self._slot_req)))
 
     def _process_oldest(self) -> Dict[int, List[int]]:
-        toks, emitted, active_dev, slot_req = self._inflight.pop(0)
-        toks_np = np.asarray(toks)  # [chunk, slots] — the host sync
-        emitted_np = np.asarray(emitted)
-        active_np = np.asarray(active_dev)
+        packed, chunk_rows, slot_req = self._inflight.pop(0)
+        packed_np = np.asarray(packed)  # the ONE host sync per chunk
+        toks_np = packed_np[:chunk_rows]
+        emitted_np = packed_np[chunk_rows : 2 * chunk_rows].astype(bool)
+        active_np = packed_np[-1].astype(bool)
         fresh: Dict[int, List[int]] = {}
         for slot, rid in enumerate(slot_req):
             if rid is None:
