@@ -5,7 +5,7 @@ throughput and prefill TTFT on the same random-initialized weights, on
 whatever accelerator JAX sees (real TPU under the driver).
 
 Arms run HEADLINE-FIRST under a wall-clock budget (BENCH_BUDGET_S, default
-2700 s) so a driver timeout can never yield zero output — the protocol the
+1500 s) so a driver timeout can never yield zero output — the protocol the
 reference bench streams per-config records for
 (/root/reference/llava/dynamic_eval/bench_test/dynamic_llava_image_time_and_mem.py:128-156):
 
@@ -29,10 +29,18 @@ reference bench streams per-config records for
                    (fp8 bandwidth + per-vector scales; lowest priority).
 
 Output protocol: after every completed arm, an ``ARM_RESULT <json>``
-progress line AND an updated bare-JSON summary line are printed (flushed).
-The last bare JSON line on stdout is therefore ALWAYS the freshest complete
-summary, whether the run finishes, hits its internal budget, or is killed
-externally (SIGTERM is caught and exits 0 after emitting the summary).
+progress line (full per-side detail) AND an updated bare-JSON summary line
+are printed (flushed). The summary line is COMPACT — top-level
+metric/value/unit/vs_baseline plus a flat {arm: ratio} dict — so it always
+fits whole inside a small driver tail buffer (the r3 failure mode was a
+multi-KB nested-detail summary cut mid-line by a 2000-char tail). Full
+detail is mirrored to ``bench_detail.json``. The last bare JSON line on
+stdout is therefore ALWAYS a complete, parseable summary, whether the run
+finishes, hits its internal budget, or is killed externally (SIGTERM is
+caught and exits 0 after emitting the summary).
+
+The two lowest-priority arms (7b_spec, serving_int8kv) are opt-in via
+BENCH_EXTRA=1 so the default pass ends rc 0 well inside the driver window.
 
 Every arm side runs in its own subprocess (7B leaves <2.3 GB HBM headroom;
 allocator state must not accumulate). Identical sides are measured once and
@@ -40,8 +48,9 @@ reused across arms (7b_best's dense B=8 is 7b_batch's dense B=8).
 
 Env knobs:
   BENCH_MODE     = full | single   (default full)
-  BENCH_BUDGET_S = wall-clock budget for full mode (default 2700)
+  BENCH_BUDGET_S = wall-clock budget for full mode (default 1500)
   BENCH_ARMS     = comma-list subset/order override of the arms to run
+  BENCH_EXTRA    = 1 to append the opt-in arms (serving_int8kv, 7b_spec)
   BENCH_MODEL    = 7b | 13b | 1b | small (single-config override)
   BENCH_BATCH / BENCH_TOKENS / BENCH_TEXT = ints
   BENCH_QUANT    = int8 | int4 (weight quantization)
@@ -195,8 +204,11 @@ ARMS = {
     },
 }
 ARM_ORDER = ("7b_best", "7b_batch", "serving", "7b", "serving_fp8",
-             "7b_ladder", "7b_ladder_likequant", "13b_int4",
-             "serving_int8kv", "7b_spec")
+             "7b_ladder", "7b_ladder_likequant", "13b_int4")
+# Opt-in extras (BENCH_EXTRA=1): two fresh sides each, lowest headline
+# value — excluded from the default pass so it exits rc 0 inside the
+# driver's timeout window.
+EXTRA_ARMS = ("serving_int8kv", "7b_spec")
 
 # kept for back-compat with run/ scripts that import CONFIGS
 CONFIGS = {
@@ -371,6 +383,16 @@ class _FullRun:
                 "error": str(e)[-800:],
             }
             return
+        # TTFT is a whole-batch prefill time; when the two sides run at
+        # DIFFERENT batch sizes (7b_best, 7b_ladder) the raw batch-level
+        # ratio reads as a regression even when the sparse side wins
+        # per-sample. Report the per-sample ratio as ttft_speedup for
+        # those arms and keep the raw one under ttft_batch_speedup.
+        sb, db = arm["sparse"]["batch"], arm["dense"]["batch"]
+        ttft_batch = round(dense["ttft_ms"] / sparse["ttft_ms"], 4)
+        ttft_per_sample = round(
+            (dense["ttft_ms"] / db) / (sparse["ttft_ms"] / sb), 4
+        )
         rec = {
             "config": {"sparse": arm["sparse"], "dense": arm["dense"]},
             "sparse": sparse,
@@ -378,30 +400,44 @@ class _FullRun:
             "decode_speedup": round(
                 sparse["decode_tok_s"] / dense["decode_tok_s"], 4
             ),
-            "ttft_speedup": round(dense["ttft_ms"] / sparse["ttft_ms"], 4),
+            "ttft_speedup": ttft_per_sample if sb != db else ttft_batch,
             "ttft_device_speedup": round(
                 dense.get("ttft_device_ms", dense["ttft_ms"])
                 / max(sparse.get("ttft_device_ms", sparse["ttft_ms"]), 1e-9),
                 4),
         }
+        if sb != db:
+            rec["ttft_batch_speedup"] = ttft_batch
+            rec["ttft_per_sample_speedup"] = ttft_per_sample
         if arm.get("note"):
             rec["note"] = arm["note"]
         self.detail[name] = rec
         print("ARM_RESULT " + json.dumps({"arm": name, **rec}), flush=True)
 
     def emit_summary(self, final: bool = False):
+        # COMPACT by contract: the driver keeps only a small stdout tail,
+        # so this line must fit whole in ~2000 chars. Scalars only; full
+        # per-side records live in the ARM_RESULT lines + bench_detail.json.
         head_name = None
-        for name in ARM_ORDER:
+        for name in list(ARM_ORDER) + list(EXTRA_ARMS) + ["single"]:
             if "decode_speedup" in self.detail.get(name, {}):
                 head_name = name
                 break
+        arms = {}
+        errors = 0
+        for name, rec in self.detail.items():
+            if "decode_speedup" in rec:
+                arms[name] = rec["decode_speedup"]
+            elif "error" in rec:
+                errors += 1
         if head_name is None:
             summary = {
                 "metric": "bench_incomplete",
                 "value": 0.0,
                 "unit": "tok/s",
                 "vs_baseline": 0.0,
-                "detail": self.detail,
+                "arms": arms,
+                "errors": errors,
             }
         else:
             head = self.detail[head_name]
@@ -410,8 +446,15 @@ class _FullRun:
                 "value": round(head["sparse"]["decode_tok_s"], 2),
                 "unit": "tok/s",
                 "vs_baseline": head["decode_speedup"],
-                "detail": self.detail,
+                "arms": arms,
+                "errors": errors,
             }
+        try:
+            with open("bench_detail.json", "w") as f:
+                json.dump({"summary": summary, "detail": self.detail}, f,
+                          indent=1)
+        except OSError:
+            pass
         print(json.dumps(summary), flush=True)
 
 
@@ -438,9 +481,14 @@ def _backend_alive(timeout_s: float = 90.0) -> bool:
 
 
 def run_full():
-    budget = float(os.environ.get("BENCH_BUDGET_S", "2700"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     arms = os.environ.get("BENCH_ARMS")
-    order = tuple(arms.split(",")) if arms else ARM_ORDER
+    if arms:
+        order = tuple(arms.split(","))
+    elif os.environ.get("BENCH_EXTRA"):
+        order = ARM_ORDER + EXTRA_ARMS
+    else:
+        order = ARM_ORDER
     run = _FullRun(budget)
     # Fail fast (with an honest summary) instead of hanging when the TPU
     # tunnel is down; give it a bounded window to recover first.
