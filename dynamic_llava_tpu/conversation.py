@@ -23,7 +23,6 @@ class SeparatorStyle(Enum):
     MPT = auto()
     PLAIN = auto()
     LLAMA_2 = auto()
-    CHATML = auto()
 
 
 def _msg_text(message: Any) -> str:
@@ -89,23 +88,12 @@ def _render_llama2(conv: "Conversation", msgs) -> str:
     return "".join(out).lstrip(conv.sep)
 
 
-def _render_chatml(conv: "Conversation", msgs) -> str:
-    out = [conv.system + conv.sep + "\n"] if conv.system else []
-    for role, message in msgs:
-        if message:
-            out += [role, "\n", _msg_text(message), conv.sep, "\n"]
-        else:
-            out += [role, "\n"]
-    return "".join(out)
-
-
 _RENDERERS: Dict[SeparatorStyle, Callable] = {
     SeparatorStyle.SINGLE: _render_single,
     SeparatorStyle.TWO: _render_two,
     SeparatorStyle.MPT: _render_mpt,
     SeparatorStyle.PLAIN: _render_plain,
     SeparatorStyle.LLAMA_2: _render_llama2,
-    SeparatorStyle.CHATML: _render_chatml,
 }
 
 
@@ -281,14 +269,25 @@ conv_llava_v1_mmtag = _make(
     "v1_mmtag", system=_SYS_MMTAG, roles=("USER", "ASSISTANT"),
     version="v1_mmtag", sep_style=SeparatorStyle.TWO, sep=" ", sep2="</s>",
 )
+# The reference renders chatml_direct with its MPT formatter (roles carry
+# the trailing newline, no newline after <|im_end|>) — byte parity matters,
+# trained checkpoints are conditioned on the exact string
+# (/root/reference/llava/conversation.py:383-392).
 conv_chatml_direct = _make(
     "chatml_direct", system="<|im_start|>system\nAnswer the questions.",
-    roles=("<|im_start|>user", "<|im_start|>assistant"), version="mpt",
-    sep_style=SeparatorStyle.CHATML, sep="<|im_end|>",
+    roles=("<|im_start|>user\n", "<|im_start|>assistant\n"), version="mpt",
+    sep_style=SeparatorStyle.MPT, sep="<|im_end|>",
+)
+# Mistral-instruct: llama-2 bracket format with no system prompt and no
+# leading <s> (/root/reference/llava/conversation.py:372-381).
+conv_mistral_instruct = _make(
+    "mistral_instruct", system="", roles=("USER", "ASSISTANT"),
+    version="llama_v2", sep_style=SeparatorStyle.LLAMA_2, sep="", sep2="</s>",
 )
 
 conv_templates["default"] = conv_vicuna_v0
 conv_templates["vicuna_v1"] = conv_vicuna_v1
 conv_templates["v0_plain"] = conv_llava_plain
+conv_templates["mistral_direct"] = conv_chatml_direct
 
 default_conversation = conv_vicuna_v1

@@ -65,6 +65,21 @@ def test_vqa_loader_cli_to_pope_scorer(tmp_path):
     recs_spec = [json.loads(l) for l in open(answers_spec)]
     assert [r["text"] for r in recs_spec] == [r["text"] for r in recs]
 
+    # --conv-mode mistral_instruct (the Mistral family's natural mode)
+    # must resolve from the registry and drive the same generator
+    answers_mi = tmp_path / "answers_mistral.jsonl"
+    model_vqa_loader.main([
+        "--model-path", ckpt,
+        "--image-folder", str(img_dir),
+        "--question-file", str(qfile),
+        "--answers-file", str(answers_mi),
+        "--conv-mode", "mistral_instruct",
+        "--temperature", "0", "--max_new_tokens", "4",
+    ])
+    recs_mi = [json.loads(l) for l in open(answers_mi)]
+    assert len(recs_mi) == 2
+    assert all(isinstance(r["text"], str) for r in recs_mi)
+
     # score through the POPE pipeline
     from dynamic_llava_tpu.eval.eval_pope import eval_pope
 

@@ -34,7 +34,8 @@ DIALOG = [
 
 @pytest.mark.parametrize(
     "name", ["v0", "v1", "vicuna_v1", "llava_v0", "llava_v1", "mpt", "plain",
-             "llama_2", "v1_mmtag"]
+             "llama_2", "v1_mmtag", "chatml_direct", "mistral_direct",
+             "mistral_instruct"]
 )
 def test_prompt_byte_parity(ref_conv, name):
     from dynamic_llava_tpu import conversation as ours
@@ -63,6 +64,14 @@ def test_prompt_byte_parity(ref_conv, name):
     our.append_message(our.roles[0], "And the size?")
     our.append_message(our.roles[1], None)
     assert ref.get_prompt() == our.get_prompt()
+
+
+def test_registry_covers_reference(ref_conv):
+    """Every reference conv-mode name resolves here (16/16)."""
+    from dynamic_llava_tpu import conversation as ours
+
+    missing = set(ref_conv.conv_templates) - set(ours.conv_templates)
+    assert not missing, missing
 
 
 def test_image_tuple_normalization(ref_conv):
