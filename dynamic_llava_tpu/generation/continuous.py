@@ -18,13 +18,21 @@ is two device programs:
 2. ``splice_slot``: scatter that request's K/V/lengths/positions/logits
    into the freed slot of the live batched state.
 
-Decode never stops or recompiles while requests come and go; tokens are
-greedy and bit-identical to a solo ``Generator.generate`` run of the
+Decode never stops or recompiles while requests come and go; greedy
+tokens are bit-identical to a solo ``Generator.generate`` run of the
 same request (pinned by tests/test_continuous.py, including slot reuse).
 
-Greedy-only for now (temperature grouping stays the window-batcher's
-job); ``kv_overflow="drop"`` only (a ring slot's wrap bases are
-per-request state the splice does not carry yet).
+Sampling is per-SLOT: each request carries its own temperature/top_p,
+spliced into [slots] device vectors at admission and applied row-wise
+inside the one decode program (``_sample_per_slot``) — greedy and
+sampled requests ride the same batch, matching the SGLang runtime the
+reference delegates to. Admission prefills BATCH: when several slots
+free at once (saturated load), the queued requests prefill as ONE
+batched program (power-of-two buckets, grouped by has-image) instead of
+k batch-1 programs — k batch-1 prefills were the engine's main
+structural cost vs the window batcher. ``kv_overflow="drop"`` only (a
+ring slot's wrap bases are per-request state the splice does not carry
+yet).
 """
 
 from __future__ import annotations
@@ -48,13 +56,39 @@ class Request:
     """Host-side request record."""
 
     def __init__(self, req_id: int, token_ids: np.ndarray,
-                 pixel_values: Optional[np.ndarray], max_new: int):
+                 pixel_values: Optional[np.ndarray], max_new: int,
+                 temperature: float = 0.0, top_p: float = 1.0):
         self.id = req_id
         self.token_ids = token_ids
         self.pixel_values = pixel_values
         self.max_new = max_new
+        self.temperature = temperature
+        self.top_p = top_p
         self.output: List[int] = []
         self.done = False
+
+
+def _row_state(state: dynamic.GenState, i: int) -> dynamic.GenState:
+    """Batch-1 view of row ``i`` (static) of a batched prefill state —
+    the splice source for batched admission."""
+
+    def row_kv(kv):
+        fields = dict(
+            k=kv.k[:, i:i + 1], v=kv.v[:, i:i + 1],
+            length=kv.length[:, i:i + 1],
+        )
+        if kv.quantized:
+            fields["k_scale"] = kv.k_scale[:, i:i + 1]
+            fields["v_scale"] = kv.v_scale[:, i:i + 1]
+        return kv._replace(**fields)
+
+    return dynamic.GenState(
+        cache=state.cache._replace(
+            pre=row_kv(state.cache.pre), post=row_kv(state.cache.post)
+        ),
+        next_pos=state.next_pos[i:i + 1],
+        last_logits=state.last_logits[i:i + 1],
+    )
 
 
 class ContinuousEngine:
@@ -76,7 +110,6 @@ class ContinuousEngine:
         max_new_cap: int = 256,
         with_images: bool = True,
     ):
-        assert gen_cfg.temperature == 0.0, "continuous engine is greedy-only"
         assert gen_cfg.kv_overflow == "drop"
         self.cfg = cfg
         self.gen = Generator(params, cfg, gen_cfg)
@@ -111,14 +144,16 @@ class ContinuousEngine:
             last_logits=jnp.zeros((slots, cfg.text.vocab_size), jnp.float32),
         )
         self._chunk_fn, self._k_hist = self.gen._decode_chunk_stop_fn(
-            chunk, ((gen_cfg.eos_token_id,),)
+            chunk, ((gen_cfg.eos_token_id,),), per_slot_sampling=True,
         )
-        self._splice = jax.jit(self._splice_impl, donate_argnums=(0,))
+        self._splices = {}  # admission batch size k -> jitted splice
         # per-slot device vectors driven from the host between chunks
         self.active = jnp.zeros((slots,), bool)
         self.hist = jnp.full((slots, self._k_hist), -7, jnp.int32)
         self.n_emit = jnp.zeros((slots,), jnp.int32)
         self.limit = jnp.zeros((slots,), jnp.int32)
+        self.temps = jnp.zeros((slots,), jnp.float32)
+        self.top_ps = jnp.ones((slots,), jnp.float32)
         self._slot_req: List[Optional[int]] = [None] * slots
         self._inflight: List[tuple] = []  # dispatched, unprocessed chunks
         self.requests: Dict[int, Request] = {}
@@ -128,40 +163,60 @@ class ContinuousEngine:
 
     # -- admission -----------------------------------------------------------
 
-    @staticmethod
-    def _splice_impl(state: dynamic.GenState, active, hist, n_emit, limit,
-                     state1: dynamic.GenState, slot, max_new):
-        """One program per admission: splice the prefilled request into the
-        slot AND reset the slot's decode-loop vectors (separate eager
-        updates would pay one host round-trip each through the tunnel)."""
-        new_state = dynamic.GenState(
-            cache=splice_tiered_slot(state.cache, state1.cache, slot),
-            next_pos=jax.lax.dynamic_update_slice(
-                state.next_pos, state1.next_pos, (slot,)),
-            last_logits=jax.lax.dynamic_update_slice(
-                state.last_logits, state1.last_logits, (slot, 0)),
-        )
-        return (
-            new_state,
-            active.at[slot].set(True),
-            hist.at[slot].set(-7),
-            n_emit.at[slot].set(0),
-            limit.at[slot].set(max_new),
-        )
+    def _splice_fn(self, k: int):
+        """Jitted k-row splice: scatter a batch-k prefilled state into k
+        slots AND reset those slots' decode-loop vectors in ONE program
+        (separate eager updates would pay one host round-trip each through
+        the tunnel). ``k`` is static; slots/max_news/temps/top_ps are [k]
+        device vectors."""
+        if k in self._splices:
+            return self._splices[k]
+
+        def impl(state, active, hist, n_emit, limit, temps, top_ps,
+                 state_k, slots, max_news, r_temps, r_top_ps):
+            for i in range(k):
+                slot = slots[i]
+                row = _row_state(state_k, i)
+                state = dynamic.GenState(
+                    cache=splice_tiered_slot(state.cache, row.cache, slot),
+                    next_pos=jax.lax.dynamic_update_slice(
+                        state.next_pos, row.next_pos, (slot,)),
+                    last_logits=jax.lax.dynamic_update_slice(
+                        state.last_logits, row.last_logits, (slot, 0)),
+                )
+                active = active.at[slot].set(True)
+                hist = hist.at[slot].set(-7)
+                n_emit = n_emit.at[slot].set(0)
+                limit = limit.at[slot].set(max_news[i])
+                temps = temps.at[slot].set(r_temps[i])
+                top_ps = top_ps.at[slot].set(r_top_ps[i])
+            return state, active, hist, n_emit, limit, temps, top_ps
+
+        fn = jax.jit(impl, donate_argnums=(0,))
+        self._splices[k] = fn
+        return fn
 
     def submit(self, token_ids: np.ndarray,
                pixel_values: Optional[np.ndarray] = None,
-               max_new_tokens: Optional[int] = None) -> int:
+               max_new_tokens: Optional[int] = None,
+               temperature: Optional[float] = None,
+               top_p: Optional[float] = None) -> int:
         """Queue a request; it enters the running batch at the next free
-        slot. Returns the request id."""
+        slot. ``temperature``/``top_p`` default to the engine's
+        GenerationConfig — sampled and greedy requests share the batch
+        (per-slot sampling). Returns the request id."""
         max_new = int(max_new_tokens or self.gc.max_new_tokens)
         if max_new > self.max_new_cap:
             raise ValueError(f"max_new {max_new} > engine cap {self.max_new_cap}")
         if len(token_ids) > self.prompt_bucket:
             raise ValueError(
                 f"prompt {len(token_ids)} > bucket {self.prompt_bucket}")
-        req = Request(next(self._ids), np.asarray(token_ids), pixel_values,
-                      max_new)
+        req = Request(
+            next(self._ids), np.asarray(token_ids), pixel_values, max_new,
+            temperature=(self.gc.temperature if temperature is None
+                         else float(temperature)),
+            top_p=self.gc.top_p if top_p is None else float(top_p),
+        )
         self.requests[req.id] = req
         self._queue.append(req)
         return req.id
@@ -169,23 +224,30 @@ class ContinuousEngine:
     def _free_slots(self) -> List[int]:
         return [i for i, r in enumerate(self._slot_req) if r is None]
 
-    def _admit(self, slot: int, req: Request) -> None:
-        has_image = req.pixel_values is not None
+    def _admit_batch(self, slots: List[int], reqs: List[Request]) -> None:
+        """Prefill ``reqs`` (all with or all without an image) as ONE
+        batch-k program and splice each row into its slot. Batching the
+        admission prefill is the engine's saturated-load win: k batch-1
+        prefills were its main structural cost vs the window batcher."""
+        k = len(reqs)
+        has_image = reqs[0].pixel_values is not None
         plan = plan_batch(
-            [req.token_ids],
+            [r.token_ids for r in reqs],
             self.cfg.num_image_tokens if has_image else 0,
             max_length=self.cfg.model_max_length,
             pad_to=self.prompt_bucket,
         )
-        cache1 = init_tiered_cache(
-            self.cfg.text, self.cfg.sparse.sparse_layer, 1,
+        cache_k = init_tiered_cache(
+            self.cfg.text, self.cfg.sparse.sparse_layer, k,
             self.pre_cap, self.post_cap, self.cache_dtype,
         )
-        pixels = (
-            None if not has_image else jnp.asarray(req.pixel_values[None]
-            if req.pixel_values.ndim == 3 else req.pixel_values)
-        )
-        state1, _ = self.gen._prefill(
+        pixels = None
+        if has_image:
+            pixels = jnp.asarray(np.stack([
+                r.pixel_values if r.pixel_values.ndim == 3
+                else r.pixel_values[0] for r in reqs
+            ]))
+        state_k, _ = self.gen._prefill(
             self.gen.params, self.cfg,
             jnp.asarray(plan.token_ids), jnp.asarray(plan.is_image),
             jnp.asarray(plan.image_slot), jnp.asarray(plan.valid_len),
@@ -193,21 +255,35 @@ class ContinuousEngine:
             jnp.asarray(plan.spans.last_instruct_start),
             jnp.asarray(plan.spans.last_instruct_end),
             jnp.asarray(plan.spans.has_image),
-            pixels, cache1,
+            pixels, cache_k,
             all_have_image=has_image, ring_mode=False,
         )
-        (self.state, self.active, self.hist, self.n_emit,
-         self.limit) = self._splice(
+        (self.state, self.active, self.hist, self.n_emit, self.limit,
+         self.temps, self.top_ps) = self._splice_fn(k)(
             self.state, self.active, self.hist, self.n_emit, self.limit,
-            state1, jnp.int32(slot), jnp.int32(req.max_new),
+            self.temps, self.top_ps,
+            state_k, jnp.asarray(slots, jnp.int32),
+            jnp.asarray([r.max_new for r in reqs], jnp.int32),
+            jnp.asarray([r.temperature for r in reqs], jnp.float32),
+            jnp.asarray([r.top_p for r in reqs], jnp.float32),
         )
-        self._slot_req[slot] = req.id
+        for slot, req in zip(slots, reqs):
+            self._slot_req[slot] = req.id
 
     def _fill_slots(self) -> None:
-        for slot in self._free_slots():
-            if not self._queue:
-                break
-            self._admit(slot, self._queue.pop(0))
+        free = self._free_slots()
+        while free and self._queue:
+            # group the queue head by has-image (one homogeneous prefill),
+            # bucket to powers of two so compiled program count stays small
+            has_img = self._queue[0].pixel_values is not None
+            n = 0
+            while (n < len(free) and n < len(self._queue)
+                   and (self._queue[n].pixel_values is not None) == has_img):
+                n += 1
+            k = 1 << (n.bit_length() - 1)  # largest power of two <= n
+            reqs = [self._queue.pop(0) for _ in range(k)]
+            self._admit_batch(free[:k], reqs)
+            free = free[k:]
 
     # -- the decode loop ------------------------------------------------------
 
@@ -218,7 +294,7 @@ class ContinuousEngine:
         (self.state, self.active, self.hist, self.n_emit,
          toks, emitted) = self._chunk_fn(
             self.gen.params, self.state, krng, self.active, self.hist,
-            self.n_emit, self.limit,
+            self.n_emit, self.limit, self.temps, self.top_ps,
         )
         # pack tokens + emitted flags + end-of-chunk active flags into ONE
         # int32 array: each np.asarray is its own device->host fetch and

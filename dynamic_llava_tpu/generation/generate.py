@@ -78,6 +78,28 @@ def _sample(rng, logits: jax.Array, temperature: float, top_p: float) -> jax.Arr
     return jax.random.categorical(rng, logits, axis=-1)
 
 
+def _sample_per_slot(rng, logits: jax.Array, temps: jax.Array,
+                     top_ps: jax.Array) -> jax.Array:
+    """Per-ROW temperature/top-p (the continuous engine's slots carry
+    per-request sampling params). Rows with temp<=0 take the argmax; the
+    [B, V] top-p sort runs under a ``lax.cond`` so all-greedy /
+    all-top_p=1 chunks never pay for it."""
+    greedy = jnp.argmax(logits, axis=-1)
+    lg = logits.astype(jnp.float32) / jnp.maximum(temps, 1e-6)[:, None]
+
+    def mask(lg):
+        sorted_logits = jnp.sort(lg, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum(cum < top_ps[:, None], axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        return jnp.where(lg < cutoff, -jnp.inf, lg)
+
+    lg = jax.lax.cond(jnp.any(top_ps < 1.0), mask, lambda x: x, lg)
+    samp = jax.random.categorical(rng, lg, axis=-1)
+    return jnp.where(temps > 0.0, samp, greedy)
+
+
 class Generator:
     """Compiled-once generation harness for a fixed config.
 
@@ -137,7 +159,8 @@ class Generator:
         self._decode_chunks[n_steps] = fn
         return fn
 
-    def _decode_chunk_stop_fn(self, n_steps: int, stop_seqs: tuple):
+    def _decode_chunk_stop_fn(self, n_steps: int, stop_seqs: tuple,
+                              per_slot_sampling: bool = False):
         """Jitted chunked decode with IN-GRAPH stopping: ``stop_seqs`` is a
         static tuple of stop token-id tuples (EOS is just a length-1 stop).
         A rolling last-K-token history rides the scan carry; when a sample's
@@ -151,8 +174,14 @@ class Generator:
         emitted [n_steps, B] — True where the token was produced while the
         sample was still active; the stop-matching token itself is marked
         emitted, mirroring the reference's streamed-then-truncated protocol
-        (serve/model_worker.py:162-264))."""
-        key = (n_steps, stop_seqs)
+        (serve/model_worker.py:162-264)).
+
+        ``per_slot_sampling``: the chunk takes two extra [B] vectors
+        (``temps``, ``top_ps``) and samples each row independently
+        (``_sample_per_slot``) — rows at temp 0 stay exactly greedy. This
+        is the continuous engine's mode: slots carry per-request sampling
+        params that change as requests come and go, without recompiling."""
+        key = (n_steps, stop_seqs, per_slot_sampling)
         if key in self._decode_chunks:
             return self._decode_chunks[key]
         cfg, gc = self.cfg, self.gen_cfg
@@ -164,13 +193,21 @@ class Generator:
         stop_valid = stop_mat >= 0
 
         def chunk(params, state: dynamic.GenState, rng, active, hist, n_emit,
-                  limit):  # limit is dynamic: one program serves all max_new
+                  limit, temps=None, top_ps=None):
+            # limit is dynamic: one program serves all max_new
             smat = jnp.asarray(stop_mat)
             svalid = jnp.asarray(stop_valid)
 
             def body(carry, krng):
                 state, active, hist, n_emit = carry
-                tok = _sample(krng, state.last_logits, gc.temperature, gc.top_p)
+                if per_slot_sampling:
+                    tok = _sample_per_slot(
+                        krng, state.last_logits, temps, top_ps
+                    )
+                else:
+                    tok = _sample(
+                        krng, state.last_logits, gc.temperature, gc.top_p
+                    )
                 state2 = dynamic.decode_step(params, cfg, tok, state,
                                              active=active,
                                              kv_overflow=gc.kv_overflow)

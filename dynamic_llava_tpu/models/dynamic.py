@@ -151,6 +151,7 @@ def prefill(
     image_features: Optional[jax.Array] = None,  # [B, N_pad, D] pre-encoded
     all_have_image: bool = False,
     ring_mode: bool = False,  # records ring_base for kv_overflow="ring"
+    vision_score_override: Optional[jax.Array] = None,  # [B, N_img] ablation
 ) -> Tuple[GenState, PrefillInfo]:
     """``image_features`` bypasses the in-graph tower for pre-encoded inputs
     (anyres tiling produces per-sample token counts the planner already
@@ -190,11 +191,20 @@ def prefill(
     if sparse.use_vision_predictor and pixel_values is not None:
         # E1: score image tokens on the hidden states entering the sparse
         # layer, keep the top-K (reference :1897-1994)
-        img_hidden = _gather_span(x, image_start, n_img)  # [B, N_img, D]
-        logits = vision_predictor(
-            params["predictors"]["image_score_predictor"], img_hidden, sparse
-        )
-        scores_img = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)[..., 0]
+        if vision_score_override is not None:
+            # eval-only ablation hook (run/sparse_quality.py): replace the
+            # learned scores (e.g. with per-sample random values) so random
+            # pruning runs the identical top-k/compaction path
+            scores_img = vision_score_override.astype(jnp.float32)
+        else:
+            img_hidden = _gather_span(x, image_start, n_img)  # [B, N_img, D]
+            logits = vision_predictor(
+                params["predictors"]["image_score_predictor"], img_hidden,
+                sparse,
+            )
+            scores_img = jax.nn.log_softmax(
+                logits.astype(jnp.float32), axis=-1
+            )[..., 0]
         # scatter span scores back to full-sequence coordinates
         scores = jnp.zeros((b, s), jnp.float32)
         batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]

@@ -287,9 +287,11 @@ def advance_tiered(
     sample persists nothing in either tier (its step is a no-op), which is
     what lets a batched/chunked decode loop freeze finished samples without
     corrupting their caches. Callers must also gate ``keep`` by activity."""
+    # shape [B] from the layer-axis-agnostic dim: the pre tier may have
+    # ZERO layers (sparse_layer=0 — prune at the embedding boundary)
     pre_inc = (
-        jnp.ones_like(cache.pre.length[0]) if active is None
-        else active.astype(jnp.int32)
+        jnp.ones((cache.pre.length.shape[1],), cache.pre.length.dtype)
+        if active is None else active.astype(jnp.int32)
     )
     pre = cache.pre._replace(length=cache.pre.length + pre_inc[None, :])
     post = cache.post._replace(

@@ -232,13 +232,12 @@ class BatchedWorker:
             for req in incoming:
                 try:
                     ids, pixels, max_new, temp = self._request_inputs(req)
-                    if temp > 0.0:
-                        raise ValueError(
-                            "continuous mode is greedy-only; "
-                            "use the window-batched worker for sampling"
-                        )
+                    # sampled requests ride the same batch: per-slot
+                    # temperature/top_p (generation.continuous)
+                    top_p = float(req.params.get("top_p", 1.0))
                     rid = eng.submit(
-                        ids, pixel_values=pixels, max_new_tokens=max_new
+                        ids, pixel_values=pixels, max_new_tokens=max_new,
+                        temperature=temp, top_p=top_p,
                     )
                     live[rid] = (req, [])
                 except Exception as e:  # noqa: BLE001
@@ -454,8 +453,9 @@ def main(argv=None):
                              " (verify 1+k candidates per pass; 0 = off)")
     parser.add_argument("--continuous", action="store_true",
                         help="slot-based continuous batching: requests join "
-                             "the running batch when a slot frees "
-                             "(greedy-only)")
+                             "the running batch when a slot frees; greedy "
+                             "and sampled requests share the batch "
+                             "(per-slot temperature/top_p)")
     parser.add_argument("--slots", type=int, default=4,
                         help="decode slots for --continuous")
     parser.add_argument("--prompt-bucket", type=int, default=768,

@@ -148,3 +148,77 @@ def test_engine_int8_kv_cache(setup):
                                          cache_dtype="int8"))
         want = gen.generate([prompt], pad_to=16)[0]
         assert engine.requests[rid].output == want
+
+
+def test_batched_admission_matches_solo(setup):
+    """4 requests queued before any step admit as ONE batch-4 prefill
+    (power-of-two bucketing) and still match solo runs token-for-token."""
+    cfg, params = setup
+    engine = ContinuousEngine(
+        params, cfg, _gc(), slots=4, prompt_bucket=24, max_new_cap=16,
+        with_images=False,
+    )
+    prompts = [_prompt(20 + i, 5 + 3 * i) for i in range(4)]
+    rids = [engine.submit(p, max_new_tokens=8) for p in prompts]
+    engine.step()
+    # one batch-4 splice program, no batch-1 admissions
+    assert set(engine._splices) == {4}
+    engine.run_until_drained()
+    for rid, prompt in zip(rids, prompts):
+        assert engine.requests[rid].output == _solo(cfg, params, prompt, 8, 24)
+
+
+def test_batched_admission_non_pow2_buckets(setup):
+    """3 queued requests admit as 2+1 (pow2 buckets); all match solo."""
+    cfg, params = setup
+    engine = ContinuousEngine(
+        params, cfg, _gc(), slots=4, prompt_bucket=24, max_new_cap=16,
+        with_images=False,
+    )
+    prompts = [_prompt(30 + i, 6 + 2 * i) for i in range(3)]
+    rids = [engine.submit(p, max_new_tokens=6) for p in prompts]
+    engine.step()
+    assert set(engine._splices) == {1, 2}
+    engine.run_until_drained()
+    for rid, prompt in zip(rids, prompts):
+        assert engine.requests[rid].output == _solo(cfg, params, prompt, 6, 24)
+
+
+def test_sampled_and_greedy_share_the_batch(setup):
+    """A temperature>0 request rides the same chunk program as greedy
+    ones: the greedy rows stay token-exact vs solo, the sampled row
+    streams real tokens, and the whole engine run is reproducible from
+    its seed."""
+    cfg, params = setup
+
+    def run():
+        engine = ContinuousEngine(
+            params, cfg, _gc(), slots=2, prompt_bucket=24, max_new_cap=16,
+            with_images=False,
+        )
+        rg = engine.submit(_prompt(40, 7), max_new_tokens=10)
+        rs = engine.submit(_prompt(41, 9), max_new_tokens=10,
+                           temperature=0.9, top_p=0.9)
+        engine.run_until_drained()
+        return engine.requests[rg].output, engine.requests[rs].output
+
+    greedy_out, sampled_out = run()
+    assert greedy_out == _solo(cfg, params, _prompt(40, 7), 10, 24)
+    assert len(sampled_out) > 0
+    # same seed, same submissions -> identical sampled stream
+    greedy2, sampled2 = run()
+    assert greedy2 == greedy_out and sampled2 == sampled_out
+
+
+def test_explicit_temp_zero_matches_default_greedy(setup):
+    """submit(temperature=0.0) goes through the per-slot sampling path and
+    must still be exactly greedy."""
+    cfg, params = setup
+    engine = ContinuousEngine(
+        params, cfg, _gc(), slots=1, prompt_bucket=16, max_new_cap=8,
+        with_images=False,
+    )
+    p = _prompt(50, 6)
+    rid = engine.submit(p, max_new_tokens=8, temperature=0.0, top_p=0.9)
+    engine.run_until_drained()
+    assert engine.requests[rid].output == _solo(cfg, params, p, 8, 16)

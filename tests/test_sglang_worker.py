@@ -205,7 +205,8 @@ def test_continuous_worker_matches_window_worker(worker, tmp_path_factory):
     """--continuous mode: requests admitted into the running slot batch
     stream the same greedy text the window-batched worker produces
     (identical deterministic checkpoint), a late request joins while the
-    first is mid-flight, and sampled requests are refused."""
+    first is mid-flight, and sampled requests stream alongside greedy
+    ones (per-slot temperature/top_p)."""
     from helpers import make_tiny_checkpoint
 
     from dynamic_llava_tpu.serve.sglang_worker import BatchedWorker
@@ -248,9 +249,11 @@ def test_continuous_worker_matches_window_worker(worker, tmp_path_factory):
         assert chunks[-1]["text"] == ref
     assert cont.last_batch_size <= 2  # never more than the slot count
 
-    # sampled requests are refused in continuous mode
+    # sampled requests ride the same slot batch (per-slot sampling)
     chunks, done = _collect(cont, {
-        "prompt": prompts[0], "temperature": 0.7, "max_new_tokens": 4,
+        "prompt": prompts[0], "temperature": 0.7, "top_p": 0.9,
+        "max_new_tokens": 4,
     })
     assert done.wait(60)
-    assert chunks[-1]["error_code"] == 1
+    assert all(c["error_code"] == 0 for c in chunks)
+    assert isinstance(chunks[-1]["text"], str) and chunks[-1]["text"]
