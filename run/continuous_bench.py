@@ -85,8 +85,14 @@ def main():
         eng = ContinuousEngine(params, cfg, gc, slots=args.slots,
                                prompt_bucket=bucket, max_new_cap=args.new,
                                with_images=False)
-        eng.submit(prompts[0], max_new_tokens=4)
-        eng.run_until_drained()
+        # admission prefills/splices compile per power-of-two batch size —
+        # warm every bucket the run can hit
+        k = 1
+        while k <= args.slots:
+            for _ in range(k):
+                eng.submit(prompts[0], max_new_tokens=4)
+            eng.run_until_drained()
+            k *= 2
         return eng
 
     # ---- continuous arm ----------------------------------------------------
