@@ -91,6 +91,48 @@ def _row_state(state: dynamic.GenState, i: int) -> dynamic.GenState:
     )
 
 
+# Module-level jitted-splice cache (keyed by admission batch size k; JAX
+# itself re-specializes on state shapes/dtypes within a wrapper): traces
+# must survive engine-instance churn — a per-instance jax.jit wrapper
+# retraces on every fresh engine, which measured as seconds of the
+# continuous-batching bench's makespan on the 1-core host.
+_SPLICE_CACHE: Dict[int, object] = {}
+
+
+def _splice_fn_k(k: int):
+    """Jitted k-row splice: scatter a batch-k prefilled state into k
+    slots AND reset those slots' decode-loop vectors in ONE program
+    (separate eager updates would pay one host round-trip each through
+    the tunnel). ``k`` is static; slots/max_news/temps/top_ps are [k]
+    device vectors."""
+    if k in _SPLICE_CACHE:
+        return _SPLICE_CACHE[k]
+
+    def impl(state, active, hist, n_emit, limit, temps, top_ps,
+             state_k, slots, max_news, r_temps, r_top_ps):
+        for i in range(k):
+            slot = slots[i]
+            row = _row_state(state_k, i)
+            state = dynamic.GenState(
+                cache=splice_tiered_slot(state.cache, row.cache, slot),
+                next_pos=jax.lax.dynamic_update_slice(
+                    state.next_pos, row.next_pos, (slot,)),
+                last_logits=jax.lax.dynamic_update_slice(
+                    state.last_logits, row.last_logits, (slot, 0)),
+            )
+            active = active.at[slot].set(True)
+            hist = hist.at[slot].set(-7)
+            n_emit = n_emit.at[slot].set(0)
+            limit = limit.at[slot].set(max_news[i])
+            temps = temps.at[slot].set(r_temps[i])
+            top_ps = top_ps.at[slot].set(r_top_ps[i])
+        return state, active, hist, n_emit, limit, temps, top_ps
+
+    fn = jax.jit(impl, donate_argnums=(0,))
+    _SPLICE_CACHE[k] = fn
+    return fn
+
+
 class ContinuousEngine:
     """Slot-based continuous batching over a fixed decode program.
 
@@ -145,8 +187,8 @@ class ContinuousEngine:
         )
         self._chunk_fn, self._k_hist = self.gen._decode_chunk_stop_fn(
             chunk, ((gen_cfg.eos_token_id,),), per_slot_sampling=True,
+            pack_results=True,
         )
-        self._splices = {}  # admission batch size k -> jitted splice
         # per-slot device vectors driven from the host between chunks
         self.active = jnp.zeros((slots,), bool)
         self.hist = jnp.full((slots, self._k_hist), -7, jnp.int32)
@@ -154,6 +196,7 @@ class ContinuousEngine:
         self.limit = jnp.zeros((slots,), jnp.int32)
         self.temps = jnp.zeros((slots,), jnp.float32)
         self.top_ps = jnp.ones((slots,), jnp.float32)
+        self.admitted_batch_sizes: set = set()  # admission ks this engine ran
         self._slot_req: List[Optional[int]] = [None] * slots
         self._inflight: List[tuple] = []  # dispatched, unprocessed chunks
         self.requests: Dict[int, Request] = {}
@@ -164,37 +207,7 @@ class ContinuousEngine:
     # -- admission -----------------------------------------------------------
 
     def _splice_fn(self, k: int):
-        """Jitted k-row splice: scatter a batch-k prefilled state into k
-        slots AND reset those slots' decode-loop vectors in ONE program
-        (separate eager updates would pay one host round-trip each through
-        the tunnel). ``k`` is static; slots/max_news/temps/top_ps are [k]
-        device vectors."""
-        if k in self._splices:
-            return self._splices[k]
-
-        def impl(state, active, hist, n_emit, limit, temps, top_ps,
-                 state_k, slots, max_news, r_temps, r_top_ps):
-            for i in range(k):
-                slot = slots[i]
-                row = _row_state(state_k, i)
-                state = dynamic.GenState(
-                    cache=splice_tiered_slot(state.cache, row.cache, slot),
-                    next_pos=jax.lax.dynamic_update_slice(
-                        state.next_pos, row.next_pos, (slot,)),
-                    last_logits=jax.lax.dynamic_update_slice(
-                        state.last_logits, row.last_logits, (slot, 0)),
-                )
-                active = active.at[slot].set(True)
-                hist = hist.at[slot].set(-7)
-                n_emit = n_emit.at[slot].set(0)
-                limit = limit.at[slot].set(max_news[i])
-                temps = temps.at[slot].set(r_temps[i])
-                top_ps = top_ps.at[slot].set(r_top_ps[i])
-            return state, active, hist, n_emit, limit, temps, top_ps
-
-        fn = jax.jit(impl, donate_argnums=(0,))
-        self._splices[k] = fn
-        return fn
+        return _splice_fn_k(k)
 
     def submit(self, token_ids: np.ndarray,
                pixel_values: Optional[np.ndarray] = None,
@@ -230,6 +243,7 @@ class ContinuousEngine:
         admission prefill is the engine's saturated-load win: k batch-1
         prefills were its main structural cost vs the window batcher."""
         k = len(reqs)
+        self.admitted_batch_sizes.add(k)
         has_image = reqs[0].pixel_values is not None
         plan = plan_batch(
             [r.token_ids for r in reqs],
@@ -289,32 +303,20 @@ class ContinuousEngine:
 
     def _dispatch(self) -> None:
         """Dispatch one chunk on the current device state (async — JAX
-        returns immediately; nothing is fetched here)."""
-        self._rng, krng = jax.random.split(self._rng)
+        returns immediately; nothing is fetched here). The rng split and
+        the fetch payload — tokens + emitted flags + end-of-chunk active
+        flags as ONE int32 array (each np.asarray is its own device->host
+        fetch at the full ~25 ms tunnel round-trip) — are both IN-GRAPH
+        (``pack_results``): an eager split + concat here measured ~13 ms
+        of host time per chunk through the tunnel."""
         (self.state, self.active, self.hist, self.n_emit,
-         toks, emitted) = self._chunk_fn(
-            self.gen.params, self.state, krng, self.active, self.hist,
+         self._rng, packed) = self._chunk_fn(
+            self.gen.params, self.state, self._rng, self.active, self.hist,
             self.n_emit, self.limit, self.temps, self.top_ps,
-        )
-        # pack tokens + emitted flags + end-of-chunk active flags into ONE
-        # int32 array: each np.asarray is its own device->host fetch and
-        # pays the full ~25 ms tunnel round-trip — three fetches per chunk
-        # cost more than the chunk's device time at 1B/B=8
-        chunk_rows = toks.shape[0]
-        packed = jnp.concatenate(
-            [
-                toks.astype(jnp.int32),
-                emitted.astype(jnp.int32),
-                jnp.broadcast_to(
-                    self.active.astype(jnp.int32)[None],
-                    (1, toks.shape[1]),
-                ),
-            ],
-            axis=0,
         )
         # snapshot slot ownership AS OF this dispatch: a slot re-admitted
         # later must not swallow this chunk's (frozen, non-emitted) rows
-        self._inflight.append((packed, chunk_rows, list(self._slot_req)))
+        self._inflight.append((packed, self.chunk, list(self._slot_req)))
 
     def _process_oldest(self) -> Dict[int, List[int]]:
         packed, chunk_rows, slot_req = self._inflight.pop(0)

@@ -100,6 +100,25 @@ def _sample_per_slot(rng, logits: jax.Array, temps: jax.Array,
     return jnp.where(temps > 0.0, samp, greedy)
 
 
+# Module-level jit wrappers and trace caches, shared by every Generator
+# (and so every ContinuousEngine / worker): JAX's trace cache lives on the
+# WRAPPER object, so per-instance jax.jit wrappers retrace (and on a 1-core
+# host re-lower for seconds) every time a harness builds a fresh
+# Generator — measured as ~40% of the continuous-batching bench's engine
+# makespan. cfg/gen_cfg are hashable (frozen dataclass / NamedTuple) and
+# every chunk closure is keyed by them below.
+_PREFILL_JIT = jax.jit(
+    dynamic.prefill, static_argnums=(1,),
+    static_argnames=("all_have_image", "ring_mode"),
+    donate_argnums=(11,),
+)
+_DECODE_JIT = jax.jit(
+    dynamic.decode_step, static_argnums=(1,),
+    static_argnames=("kv_overflow",), donate_argnums=(3,),
+)
+_CHUNK_CACHE = {}  # (cfg, gen_cfg, per-fn key) -> jitted program
+
+
 class Generator:
     """Compiled-once generation harness for a fixed config.
 
@@ -123,23 +142,19 @@ class Generator:
         self.cfg = cfg
         self.gen_cfg = gen_cfg
         # params are explicit jit arguments (a closure would bake the full
-        # weight pytree into the HLO as constants); cfg is static.
-        self._prefill = jax.jit(
-            dynamic.prefill, static_argnums=(1,),
-            static_argnames=("all_have_image", "ring_mode"),
-            donate_argnums=(11,),
-        )
-        self._decode = jax.jit(
-            dynamic.decode_step, static_argnums=(1,),
-            static_argnames=("kv_overflow",), donate_argnums=(3,),
-        )
-        self._decode_chunks = {}  # n_steps -> jitted scan loop
+        # weight pytree into the HLO as constants); cfg is static. The
+        # wrappers are module-level so traces survive instance churn.
+        self._prefill = _PREFILL_JIT
+        self._decode = _DECODE_JIT
+        self._decode_chunks = _CHUNK_CACHE
+        self._cache_ns = (cfg, gen_cfg)  # trace-cache key namespace
 
     def _decode_chunk_fn(self, n_steps: int):
         """Jitted: sample+decode n_steps tokens on device, return the tokens.
         The state (cache) is donated so XLA updates it in place."""
-        if n_steps in self._decode_chunks:
-            return self._decode_chunks[n_steps]
+        key = (*self._cache_ns, n_steps)
+        if key in self._decode_chunks:
+            return self._decode_chunks[key]
         cfg, gc = self.cfg, self.gen_cfg
 
         def chunk(params, state: dynamic.GenState, rng):
@@ -156,11 +171,12 @@ class Generator:
             return state, toks  # toks: [n_steps, B]
 
         fn = jax.jit(chunk, donate_argnums=(1,))
-        self._decode_chunks[n_steps] = fn
+        self._decode_chunks[key] = fn
         return fn
 
     def _decode_chunk_stop_fn(self, n_steps: int, stop_seqs: tuple,
-                              per_slot_sampling: bool = False):
+                              per_slot_sampling: bool = False,
+                              pack_results: bool = False):
         """Jitted chunked decode with IN-GRAPH stopping: ``stop_seqs`` is a
         static tuple of stop token-id tuples (EOS is just a length-1 stop).
         A rolling last-K-token history rides the scan carry; when a sample's
@@ -180,8 +196,17 @@ class Generator:
         (``temps``, ``top_ps``) and samples each row independently
         (``_sample_per_slot``) — rows at temp 0 stay exactly greedy. This
         is the continuous engine's mode: slots carry per-request sampling
-        params that change as requests come and go, without recompiling."""
-        key = (n_steps, stop_seqs, per_slot_sampling)
+        params that change as requests come and go, without recompiling.
+
+        ``pack_results``: split the rng successor and pack the per-chunk
+        host-fetch payload IN-GRAPH — the chunk additionally returns
+        (next_rng, packed [2*n_steps+1, B] int32: tokens, emitted flags,
+        end-of-chunk active flags). Without it a dispatch loop pays one
+        eager device op per chunk for the split and one for the concat;
+        through the TPU tunnel those eager dispatches measured ~13 ms of
+        host time per chunk (the continuous engine's mode)."""
+        key = (*self._cache_ns, n_steps, stop_seqs, per_slot_sampling,
+               pack_results)
         if key in self._decode_chunks:
             return self._decode_chunks[key]
         cfg, gc = self.cfg, self.gen_cfg
@@ -223,10 +248,24 @@ class Generator:
                 hist2 = jnp.where(active[:, None], hist2, hist)
                 return (state2, active2, hist2, n_emit2), (tok, active)
 
+            if pack_results:  # reserve one key as the chunk's rng successor
+                krngs = jax.random.split(rng, n_steps + 1)
+                next_rng, step_keys = krngs[0], krngs[1:]
+            else:
+                next_rng, step_keys = None, jax.random.split(rng, n_steps)
             (state, active, hist, n_emit), (toks, emitted) = jax.lax.scan(
-                body, (state, active, hist, n_emit),
-                jax.random.split(rng, n_steps),
+                body, (state, active, hist, n_emit), step_keys,
             )
+            if pack_results:
+                packed = jnp.concatenate(
+                    [
+                        toks.astype(jnp.int32),
+                        emitted.astype(jnp.int32),
+                        active.astype(jnp.int32)[None],
+                    ],
+                    axis=0,
+                )
+                return state, active, hist, n_emit, next_rng, packed
             return state, active, hist, n_emit, toks, emitted
 
         fn = jax.jit(chunk, donate_argnums=(1,))
@@ -236,7 +275,7 @@ class Generator:
     def _spec_fn(self, m: int):
         """Jitted speculative verify round for M candidate tokens
         (models.dynamic.decode_speculative_step); cached per M."""
-        key = ("spec", m)
+        key = (*self._cache_ns, "spec", m)
         if key in self._decode_chunks:
             return self._decode_chunks[key]
         cfg, gc = self.cfg, self.gen_cfg

@@ -98,7 +98,9 @@ def _device_loop_fn(gen, m: int, ctx_cap: int, out_cap: int,
     lookup), verify, emit, repeat — ZERO host round-trips until the final
     fetch. Through the axon tunnel the host-draft loop pays ~29 ms RTT per
     round; this pays it once per generation."""
-    key = ("spec_dev", m, ctx_cap, out_cap, max_ngram, min_ngram)
+    # namespaced by (cfg, gen_cfg): the chunk cache is module-global now
+    key = (*gen._cache_ns, "spec_dev", m, ctx_cap, out_cap, max_ngram,
+           min_ngram)
     if key in gen._decode_chunks:
         return gen._decode_chunks[key]
     cfg, gc = gen.cfg, gen.gen_cfg

@@ -32,7 +32,10 @@ def _import_bench():
 
 def test_arm_table_schema():
     bench = _import_bench()
-    assert set(bench.ARM_ORDER) == set(bench.ARMS)
+    # default pass runs ARM_ORDER; EXTRA_ARMS are the opt-in (BENCH_EXTRA=1)
+    # low-priority arms — together they must cover the table exactly
+    assert set(bench.ARM_ORDER) | set(bench.EXTRA_ARMS) == set(bench.ARMS)
+    assert not set(bench.ARM_ORDER) & set(bench.EXTRA_ARMS)
     for name, arm in bench.ARMS.items():
         assert set(arm["sparse"]) == SIDE_KEYS, name
         assert set(arm["dense"]) == SIDE_KEYS, name

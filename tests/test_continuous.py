@@ -161,8 +161,8 @@ def test_batched_admission_matches_solo(setup):
     prompts = [_prompt(20 + i, 5 + 3 * i) for i in range(4)]
     rids = [engine.submit(p, max_new_tokens=8) for p in prompts]
     engine.step()
-    # one batch-4 splice program, no batch-1 admissions
-    assert set(engine._splices) == {4}
+    # one batch-4 admission, no batch-1 admissions
+    assert engine.admitted_batch_sizes == {4}
     engine.run_until_drained()
     for rid, prompt in zip(rids, prompts):
         assert engine.requests[rid].output == _solo(cfg, params, prompt, 8, 24)
@@ -178,7 +178,7 @@ def test_batched_admission_non_pow2_buckets(setup):
     prompts = [_prompt(30 + i, 6 + 2 * i) for i in range(3)]
     rids = [engine.submit(p, max_new_tokens=6) for p in prompts]
     engine.step()
-    assert set(engine._splices) == {1, 2}
+    assert engine.admitted_batch_sizes == {1, 2}
     engine.run_until_drained()
     for rid, prompt in zip(rids, prompts):
         assert engine.requests[rid].output == _solo(cfg, params, prompt, 6, 24)
