@@ -265,6 +265,15 @@ def _mlp(lp, h: jax.Array, fused: bool = False) -> jax.Array:
         if du is not None:
             u = u + du
         return lora_proj(lp, "down", jax.nn.silu(g) * u)
+    if all(isinstance(lp.get(n), dict) and "q4" in lp[n]
+           for n in ("gate", "up", "down")):
+        # fully-int4 MLP at decode rows: ONE streaming program for
+        # gate/up/silu/down (ops.quant.matmul_q4_mlp); None -> fall through
+        from ..ops.quant import matmul_q4_mlp
+
+        y = matmul_q4_mlp(h, lp)
+        if y is not None:
+            return y
     group = _quant_group(lp, ("gate", "up"), h)
     if group is not None:
         g, u = group

@@ -291,6 +291,53 @@ def matmul_q4_group(x: jax.Array, lp: dict, names, out_fp32: bool = False):
     )
 
 
+def matmul_q4_mlp(x: jax.Array, lp: dict, out_fp32: bool = False,
+                  interpret: bool = False):
+    """The whole SwiGLU MLP — silu(x@gate) * (x@up) @ down — as ONE
+    streaming program when all three leaves are packed int4
+    (``quant_matmul.matmul_q4_mlp_pallas``). Beyond the grouped gate/up
+    launch this saves the separate down launch AND the XLA elementwise
+    program between them (~10 us per-program overhead each,
+    run/q4_kernel_probe.py), and phase B's down stream starts on a hot
+    DMA pipeline (its first windows prefetch during the gate/up phase).
+
+    Returns the MLP output, or None when not kernel-eligible (not all
+    int4, mismatched layer indices, any gate/up/down LoRA adapter — its
+    delta must apply before the in-kernel silu — prefill row counts, or
+    no VMEM plan); the caller falls back to the grouped/two-program path."""
+    leaves = [lp.get(n) for n in ("gate", "up", "down")]
+    if not all(
+        isinstance(l, dict) and "q4" in l and "s" in l for l in leaves
+    ):
+        return None
+    if any(lp.get(f"{n}_lora") is not None for n in ("gate", "up", "down")):
+        return None
+    if not _q4_kernel_enabled():
+        return None
+    if not _gemv_kernel_enabled("DYNAMIC_LLAVA_Q4_MLP"):
+        return None  # A/B escape hatch back to the grouped two-program path
+    g, u, d = leaves
+    li = g.get("li")
+    if u.get("li") is not li or d.get("li") is not li:
+        return None
+    from .quant_matmul import _q4_mlp_plan, matmul_q4_mlp_pallas
+
+    rows = 1
+    for dim in x.shape[:-1]:
+        rows *= dim
+    k_dim, half_f = g["q4"].shape[-2:]
+    f_dim, half_d = d["q4"].shape[-2:]
+    if u["q4"].shape[-2:] != (k_dim, half_f) or f_dim != 2 * half_f:
+        return None
+    if _q4_mlp_plan(k_dim, half_f, half_d, rows) is None:
+        return None
+    return matmul_q4_mlp_pallas(
+        x, g["q4"], u["q4"], d["q4"], g["s"], u["s"], d["s"],
+        layer=0 if li is None else li, out_fp32=out_fp32,
+        unpack=_q4_unpack_mode(), interpret=interpret,
+    )
+
+
 def dequantize_weight(leaf, dtype=jnp.bfloat16) -> jax.Array:
     if isinstance(leaf, dict) and "q4" in leaf:
         return unpack_int4(leaf["q4"]).astype(dtype) * leaf["s"].astype(dtype)

@@ -685,6 +685,231 @@ def matmul_q4_multi_pallas(
     return tuple(outs)
 
 
+def _q4_mlp_kernel(
+    li_ref,  # [1] int32 layer index (SMEM)
+    x_ref,  # [TM, K] activations (VMEM)
+    gs_lo_ref, gs_hi_ref,  # [1, half_f] gate scales (VMEM)
+    us_lo_ref, us_hi_ref,  # [1, half_f] up scales (VMEM)
+    ds_lo_ref, ds_hi_ref,  # [1, half_d] down scales (VMEM)
+    g_hbm,  # [L, K, half_f] packed gate (HBM; streamed)
+    u_hbm,  # [L, K, half_f] packed up (HBM; streamed)
+    d_hbm,  # [L, F, half_d] packed down, F = 2*half_f (HBM; streamed)
+    ylo_ref,  # [TM, half_d] out, columns [0, half_d)
+    yhi_ref,  # [TM, half_d] out, columns [half_d, 2*half_d)
+    *,
+    tk: int,
+    tk2: int,
+    unpack: str,
+):
+    """The WHOLE SwiGLU MLP as one program: silu(x@G) * (x@U) @ D.
+
+    Two streaming phases share one launch: phase A accumulates the gate
+    and up GEMVs over K-chunks (two double-buffered windows), then the
+    activation h = silu(g)*u is formed in VMEM ([TM, F] bf16 — 176 KB at
+    TM=8/F=11008, trivially resident), and phase B streams the down
+    weight over F-chunks against h. Saves one kernel launch per layer
+    (~10 us measured per-program overhead, run/q4_kernel_probe.py) plus
+    the XLA glue program between the two (the silu/mul elementwise step),
+    and the down stream's first chunks are prefetched DURING phase A so
+    phase B starts with a hot pipeline. Split-half layout throughout:
+    [lo | hi] concat order of each output IS original column order, so h
+    built as concat(h_lo, h_hi) indexes the down weight's K rows in
+    original ffn order."""
+    _, k_dim, half_f = g_hbm.shape
+    _, f_dim, half_d = d_hbm.shape
+    na = k_dim // tk
+    nb = f_dim // tk2
+    tm = x_ref.shape[0]
+    li = li_ref[0]
+
+    def body(gbuf, ubuf, dbuf, h_ref, gsem, usem, dsem):
+        def dma_a(buf, sem, hbm, slot, idx):
+            return pltpu.make_async_copy(
+                hbm.at[li, pl.ds(idx * tk, tk), :], buf.at[slot],
+                sem.at[slot],
+            )
+
+        def dma_b(slot, idx):
+            return pltpu.make_async_copy(
+                d_hbm.at[li, pl.ds(idx * tk2, tk2), :], dbuf.at[slot],
+                dsem.at[slot],
+            )
+
+        for c in range(min(1, na)):
+            dma_a(gbuf, gsem, g_hbm, c, c).start()
+            dma_a(ubuf, usem, u_hbm, c, c).start()
+        # prefetch the down stream's first windows now — by the time
+        # phase A's ~22 MB have streamed, these are long since resident
+        for c in range(min(2, nb)):
+            dma_b(c, c).start()
+
+        def loop_a(i, accs):
+            g_lo, g_hi, u_lo, u_hi = accs
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < na)
+            def _():
+                nxt = jax.lax.rem(i + 1, 2)
+                dma_a(gbuf, gsem, g_hbm, nxt, i + 1).start()
+                dma_a(ubuf, usem, u_hbm, nxt, i + 1).start()
+
+            xb = x_ref[:, pl.ds(i * tk, tk)].astype(jnp.bfloat16)
+            dma_a(gbuf, gsem, g_hbm, slot, i).wait()
+            lo, hi = _q4_unpack_block(gbuf[slot], unpack)
+            g_lo = g_lo + jnp.dot(xb, lo, preferred_element_type=jnp.float32)
+            g_hi = g_hi + jnp.dot(xb, hi, preferred_element_type=jnp.float32)
+            dma_a(ubuf, usem, u_hbm, slot, i).wait()
+            lo, hi = _q4_unpack_block(ubuf[slot], unpack)
+            u_lo = u_lo + jnp.dot(xb, lo, preferred_element_type=jnp.float32)
+            u_hi = u_hi + jnp.dot(xb, hi, preferred_element_type=jnp.float32)
+            return g_lo, g_hi, u_lo, u_hi
+
+        zf = jnp.zeros((tm, half_f), jnp.float32)
+        g_lo, g_hi, u_lo, u_hi = jax.lax.fori_loop(
+            0, na, loop_a, (zf, zf, zf, zf)
+        )
+        g_lo = g_lo * gs_lo_ref[:].astype(jnp.float32)
+        g_hi = g_hi * gs_hi_ref[:].astype(jnp.float32)
+        u_lo = u_lo * us_lo_ref[:].astype(jnp.float32)
+        u_hi = u_hi * us_hi_ref[:].astype(jnp.float32)
+        # stage h through a VMEM scratch ref: phase B reads tk2-wide
+        # slices with pl.ds (a dynamic_slice on a VALUE does not legalize
+        # in Mosaic — probed on v5e)
+        h_ref[:, :half_f] = (jax.nn.silu(g_lo) * u_lo).astype(jnp.bfloat16)
+        h_ref[:, half_f:] = (jax.nn.silu(g_hi) * u_hi).astype(jnp.bfloat16)
+
+        def loop_b(i, accs):
+            y_lo, y_hi = accs
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < nb)
+            def _():
+                dma_b(jax.lax.rem(i + 1, 2), i + 1).start()
+
+            dma_b(slot, i).wait()
+            lo, hi = _q4_unpack_block(dbuf[slot], unpack)
+            hb = h_ref[:, pl.ds(i * tk2, tk2)]
+            y_lo = y_lo + jnp.dot(hb, lo, preferred_element_type=jnp.float32)
+            y_hi = y_hi + jnp.dot(hb, hi, preferred_element_type=jnp.float32)
+            return y_lo, y_hi
+
+        zd = jnp.zeros((tm, half_d), jnp.float32)
+        y_lo, y_hi = jax.lax.fori_loop(0, nb, loop_b, (zd, zd))
+        ylo_ref[:] = (y_lo * ds_lo_ref[:].astype(jnp.float32)).astype(
+            ylo_ref.dtype
+        )
+        yhi_ref[:] = (y_hi * ds_hi_ref[:].astype(jnp.float32)).astype(
+            yhi_ref.dtype
+        )
+
+    pl.run_scoped(
+        body,
+        gbuf=pltpu.VMEM((2, tk, half_f), jnp.int8),
+        ubuf=pltpu.VMEM((2, tk, half_f), jnp.int8),
+        dbuf=pltpu.VMEM((2, tk2, half_d), jnp.int8),
+        h_ref=pltpu.VMEM((tm, f_dim), jnp.bfloat16),
+        gsem=pltpu.SemaphoreType.DMA((2,)),
+        usem=pltpu.SemaphoreType.DMA((2,)),
+        dsem=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def _q4_mlp_plan(k_dim: int, half_f: int, half_d: int, rows: int):
+    """(tk, tk2, tm) for the fused MLP kernel, or None.
+
+    VMEM accounting mirrors _q4_multi_plan (fp32 accumulator carries are
+    double-charged by the loop) plus the phase-B pieces: the bf16 h
+    activation, the down window, and the down accumulators."""
+    if rows > 64:
+        return None
+    f_dim = 2 * half_f
+    tm = -(-rows // 8) * 8
+    for tk in (512, 256, 128):
+        if k_dim % tk or tk * half_f > (2 << 20):
+            continue
+        for tk2 in (512, 256, 128):
+            if f_dim % tk2 or tk2 * half_d > (2 << 20):
+                continue
+            stack = 2 * 2 * tk * half_f + 2 * tk2 * half_d  # DMA windows
+            stack += 4 * tm * half_f * 4 * 2  # phase-A fp32 carries
+            stack += tm * f_dim * 2  # h (bf16)
+            stack += 2 * tm * half_d * 4 * 2  # phase-B fp32 carries
+            stack += 2 * tm * half_d * 4  # outputs
+            stack += tm * k_dim * 2  # x
+            if stack <= 14 * (1 << 20):
+                return tk, tk2, tm
+    return None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_fp32", "interpret", "unpack")
+)
+def matmul_q4_mlp_pallas(
+    x: jax.Array,  # [..., K]
+    gate: jax.Array,  # [L, K, half_f] (or [K, half_f]) packed int4
+    up: jax.Array,  # [L, K, half_f] packed int4
+    down: jax.Array,  # [L, 2*half_f, half_d] packed int4
+    gate_s: jax.Array,  # [1, 2*half_f] layer-sliced scales
+    up_s: jax.Array,  # [1, 2*half_f]
+    down_s: jax.Array,  # [1, 2*half_d]
+    layer: jax.Array | int = 0,
+    out_fp32: bool = False,
+    interpret: bool = False,
+    unpack: str = "i32",
+) -> jax.Array:
+    """silu(x @ deq(gate)) * (x @ deq(up)) @ deq(down) in ONE program.
+    Returns [..., 2*half_d]. Decode-sized row counts only."""
+    gate, up, down = (
+        p[None] if p.ndim == 2 else p for p in (gate, up, down)
+    )
+    _, k_dim, half_f = gate.shape
+    _, f_dim, half_d = down.shape
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, k_dim)
+    rows = x2.shape[0]
+    plan = _q4_mlp_plan(k_dim, half_f, half_d, rows)
+    if plan is None:
+        raise ValueError(
+            f"no q4 mlp plan for K={k_dim} half_f={half_f} "
+            f"half_d={half_d} rows={rows}"
+        )
+    tk, tk2, tm = plan
+    if tm != rows:
+        x2 = jnp.pad(x2, ((0, tm - rows), (0, 0)))
+    out_dtype = jnp.float32 if out_fp32 else x.dtype
+    li = jnp.asarray(layer, jnp.int32).reshape(1)
+    gs = gate_s.reshape(1, 2 * half_f)
+    us = up_s.reshape(1, 2 * half_f)
+    ds = down_s.reshape(1, 2 * half_d)
+    ylo, yhi = pl.pallas_call(
+        functools.partial(
+            _q4_mlp_kernel, tk=tk, tk2=tk2, unpack=unpack
+        ),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.SMEM),
+             pl.BlockSpec(memory_space=pltpu.VMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+            + [pl.BlockSpec(memory_space=pltpu.ANY)] * 3
+        ),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((tm, half_d), out_dtype),
+            jax.ShapeDtypeStruct((tm, half_d), out_dtype),
+        ],
+        interpret=interpret,
+    )(
+        li, x2,
+        gs[:, :half_f], gs[:, half_f:],
+        us[:, :half_f], us[:, half_f:],
+        ds[:, :half_d], ds[:, half_d:],
+        gate, up, down,
+    )
+    y = jnp.concatenate([ylo, yhi], axis=-1)
+    if tm != rows:
+        y = y[:rows]
+    return y.reshape(lead + (2 * half_d,))
+
+
 def q8_col_split_parts(q_shape, rows: int) -> int:
     """Number of output-column blocks (2 or 4) that makes an un-stacked
     int8 weight kernel-eligible at ``rows``, or 0. Covers the vocab-width

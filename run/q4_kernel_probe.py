@@ -162,6 +162,83 @@ def run_groups(args, hbm_gbps):
             print(json.dumps(rec), flush=True)
 
 
+def run_mlp(args, hbm_gbps):
+    """Fused SwiGLU-MLP kernel (ONE program: gate/up GEMVs, in-kernel
+    silu*mul, down GEMV) vs the production two-program path (grouped
+    gate/up launch + separate down launch, silu*mul as XLA glue). The
+    fused form saves one ~10 us launch plus the glue program per layer
+    and starts the down stream on prefetched-hot DMA windows."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dynamic_llava_tpu.ops.quant import quantize_weight
+    from dynamic_llava_tpu.ops.quant_matmul import (
+        _q4_mlp_plan,
+        matmul_q4_mlp_pallas,
+        matmul_q4_multi_pallas,
+        matmul_q4_pallas,
+    )
+
+    rng = np.random.default_rng(2)
+    if args.model == "13b":
+        k_dim, f_dim = 5120, 13824
+    else:
+        k_dim, f_dim = 4096, 11008
+    if args.interpret:
+        k_dim, f_dim = 256, 512
+
+    gate = quantize_weight(
+        jnp.asarray(rng.normal(size=(k_dim, f_dim)) * 0.02, jnp.bfloat16),
+        axis=0, bits=4)
+    up = quantize_weight(
+        jnp.asarray(rng.normal(size=(k_dim, f_dim)) * 0.02, jnp.bfloat16),
+        axis=0, bits=4)
+    down = quantize_weight(
+        jnp.asarray(rng.normal(size=(f_dim, k_dim)) * 0.02, jnp.bfloat16),
+        axis=0, bits=4)
+    packs = (gate["q4"], up["q4"], down["q4"])
+    scales = (gate["s"], up["s"], down["s"])
+    floor_us = (2 * k_dim * (f_dim // 2) + f_dim * (k_dim // 2)) \
+        / hbm_gbps / 1e3
+    interp = args.interpret
+
+    def two_program(x, packs, scales):
+        g, u = matmul_q4_multi_pallas(
+            x, packs[:2], scales[:2], interpret=interp)
+        h = jax.nn.silu(g) * u
+        return matmul_q4_pallas(
+            h.astype(x.dtype), packs[2], scales[2], interpret=interp)
+
+    def fused(x, packs, scales):
+        return matmul_q4_mlp_pallas(
+            x, packs[0], packs[1], packs[2],
+            scales[0], scales[1], scales[2], interpret=interp)
+
+    for rows in args.rows:
+        if _q4_mlp_plan(k_dim, f_dim // 2, k_dim // 2, rows) is None:
+            continue
+        x = jnp.asarray(rng.normal(size=(rows, k_dim)), jnp.bfloat16)
+        rec = {
+            "shape": "mlp", "K": k_dim, "F": f_dim, "rows": rows,
+            "iters": args.iters,
+            "single_read_floor_us": round(floor_us, 1),
+        }
+        for vname, fn in (("two_program", two_program), ("fused", fused)):
+            try:
+                run_n = _chain(fn, args.iters)
+                run_4n = _chain(fn, 4 * args.iters)
+                float(run_n(x, packs, scales))
+                float(run_4n(x, packs, scales))
+                us = _slope_us(run_n, run_4n, (x, packs, scales), args.iters)
+            except Exception as e:
+                rec[vname + "_error"] = str(e).split("\n")[0][:160]
+                continue
+            rec[vname + "_us"] = round(us, 1)
+            rec[vname + "_roofline"] = round(floor_us / us, 3)
+        print(json.dumps(rec), flush=True)
+
+
 def _slope_us(run_n, run_4n, fn_args, iters: int, repeats: int = 3):
     """Median-of-``repeats`` slope between an N- and a 4N-call chain:
     per-call us with every constant offset (tunnel RTT, dispatch, final
@@ -185,6 +262,10 @@ def main():
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--skip-xla", action="store_true")
     ap.add_argument("--groups-only", action="store_true")
+    ap.add_argument(
+        "--mlp-only", action="store_true",
+        help="time only the fused-MLP-vs-two-program comparison",
+    )
     ap.add_argument(
         "--interpret", action="store_true",
         help="CPU smoke mode: tiny shapes, interpret-mode kernels",
@@ -213,6 +294,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         shapes = [("tiny", 256, 1024)]
         args.iters = min(args.iters, 2)
+    if args.mlp_only:
+        run_mlp(args, hbm_gbps)
+        return
     if args.groups_only:
         run_groups(args, hbm_gbps)
         return
@@ -279,6 +363,7 @@ def main():
             print(json.dumps(rec), flush=True)
 
     run_groups(args, hbm_gbps)
+    run_mlp(args, hbm_gbps)
 
 
 if __name__ == "__main__":

@@ -2,6 +2,8 @@
 representation (jnp.int4 buffers cannot be jit args or host-read through
 the axon TPU tunnel; packed int8 reads the same 0.5 bytes/weight)."""
 
+import os
+
 import numpy as np
 
 import jax
@@ -663,3 +665,105 @@ def test_matmul_q4_multi_deep_pipeline_matches_oracle():
             np.asarray(y, np.float32), np.asarray(ref, np.float32),
             atol=2e-2, rtol=2e-2,
         )
+
+
+def test_matmul_q4_mlp_matches_two_program_path():
+    """The fused MLP kernel (gate/up/silu/down in ONE program) must match
+    the two-program reference — grouped gate/up GEMV, XLA silu*mul, down
+    GEMV — for stacked weights at every layer index and at batched rows.
+    The fused kernel forms h in fp32 before the bf16 cast (the reference
+    path scales into bf16 first), so the comparison carries the usual
+    int4 kernel tolerance, not bit-equality."""
+    from dynamic_llava_tpu.ops.quant import dequantize_weight, quantize_weight
+    from dynamic_llava_tpu.ops.quant_matmul import (
+        _q4_mlp_plan,
+        matmul_q4_mlp_pallas,
+    )
+
+    rng = np.random.default_rng(31)
+    n_layers, k_dim, f_dim = 2, 256, 512
+    gate = quantize_weight(
+        jnp.asarray(rng.normal(size=(n_layers, k_dim, f_dim)) * 0.05,
+                    jnp.bfloat16), axis=1, bits=4)
+    up = quantize_weight(
+        jnp.asarray(rng.normal(size=(n_layers, k_dim, f_dim)) * 0.05,
+                    jnp.bfloat16), axis=1, bits=4)
+    down = quantize_weight(
+        jnp.asarray(rng.normal(size=(n_layers, f_dim, k_dim)) * 0.05,
+                    jnp.bfloat16), axis=1, bits=4)
+    assert _q4_mlp_plan(k_dim, f_dim // 2, k_dim // 2, rows=1)
+
+    for rows in (1, 24):
+        x = jnp.asarray(rng.normal(size=(rows, k_dim)), jnp.bfloat16)
+        for li in range(n_layers):
+            got = matmul_q4_mlp_pallas(
+                x, gate["q4"], up["q4"], down["q4"],
+                gate["s"][li], up["s"][li], down["s"][li],
+                layer=jnp.int32(li), interpret=True,
+            )
+            gd = dequantize_weight(
+                {"q4": gate["q4"][li], "s": gate["s"][li]}, jnp.float32)
+            ud = dequantize_weight(
+                {"q4": up["q4"][li], "s": up["s"][li]}, jnp.float32)
+            dd = dequantize_weight(
+                {"q4": down["q4"][li], "s": down["s"][li]}, jnp.float32)
+            xf = x.astype(jnp.float32)
+            ref = (jax.nn.silu(xf @ gd) * (xf @ ud)) @ dd
+            assert got.shape == (rows, k_dim)
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32), np.asarray(ref),
+                atol=5e-2, rtol=5e-2,
+            )
+
+    # leading batch dims reshape correctly
+    x3 = jnp.asarray(rng.normal(size=(2, 3, k_dim)), jnp.bfloat16)
+    got3 = matmul_q4_mlp_pallas(
+        x3, gate["q4"], up["q4"], down["q4"],
+        gate["s"][0], up["s"][0], down["s"][0], interpret=True,
+    )
+    assert got3.shape == (2, 3, k_dim)
+
+
+def test_q4_mlp_plan_and_dispatch_rules():
+    """7B and 13B MLP shapes must be plannable at decode rows; prefill
+    rows must not. The ops.quant dispatcher must refuse LoRA-adapted
+    leaves (the delta applies before silu, which the fused kernel cannot
+    honor) and mixed-precision groups."""
+    from dynamic_llava_tpu.ops.quant import matmul_q4_mlp, quantize_weight
+    from dynamic_llava_tpu.ops.quant_matmul import _q4_mlp_plan
+
+    assert _q4_mlp_plan(4096, 5504, 2048, rows=1)  # 7B B=1
+    assert _q4_mlp_plan(4096, 5504, 2048, rows=24)  # 7B batched decode
+    assert _q4_mlp_plan(5120, 6912, 2560, rows=1)  # 13B B=1
+    assert _q4_mlp_plan(4096, 5504, 2048, rows=640) is None  # prefill
+
+    rng = np.random.default_rng(5)
+    k_dim, f_dim = 256, 512
+    lp = {
+        "gate": quantize_weight(
+            jnp.asarray(rng.normal(size=(k_dim, f_dim)) * 0.05,
+                        jnp.bfloat16), axis=0, bits=4),
+        "up": quantize_weight(
+            jnp.asarray(rng.normal(size=(k_dim, f_dim)) * 0.05,
+                        jnp.bfloat16), axis=0, bits=4),
+        "down": quantize_weight(
+            jnp.asarray(rng.normal(size=(f_dim, k_dim)) * 0.05,
+                        jnp.bfloat16), axis=0, bits=4),
+    }
+    x = jnp.asarray(rng.normal(size=(1, k_dim)), jnp.bfloat16)
+    os.environ["DYNAMIC_LLAVA_Q4_KERNEL"] = "1"
+    os.environ["DYNAMIC_LLAVA_Q4_MLP"] = "1"
+    try:
+        assert matmul_q4_mlp(x, lp, interpret=True) is not None
+        lora = {"a": jnp.zeros((k_dim, 2), jnp.bfloat16),
+                "b": jnp.zeros((2, f_dim), jnp.bfloat16),
+                "s": jnp.float32(1.0)}
+        assert matmul_q4_mlp(x, {**lp, "gate_lora": lora}) is None
+        assert matmul_q4_mlp(x, {**lp, "down_lora": lora}) is None
+        int8_down = quantize_weight(
+            jnp.asarray(rng.normal(size=(f_dim, k_dim)) * 0.05,
+                        jnp.bfloat16), axis=0, bits=8)
+        assert matmul_q4_mlp(x, {**lp, "down": int8_down}) is None
+    finally:
+        del os.environ["DYNAMIC_LLAVA_Q4_KERNEL"]
+        del os.environ["DYNAMIC_LLAVA_Q4_MLP"]
