@@ -314,8 +314,16 @@ def matmul_q4_mlp(x: jax.Array, lp: dict, out_fp32: bool = False,
         return None
     if not _q4_kernel_enabled():
         return None
-    if not _gemv_kernel_enabled("DYNAMIC_LLAVA_Q4_MLP"):
-        return None  # A/B escape hatch back to the grouped two-program path
+    # OPT-IN only (DYNAMIC_LLAVA_Q4_MLP=1): slope-timed on the v5e the
+    # fused program LOSES to the two-program path (112.5 vs 105.6 us at
+    # rows=1, 130.5 vs 116.0 at rows=24, 7B shapes) — back-to-back
+    # launches partially pipeline, so fusing saves less than the naive
+    # per-launch accounting and the in-kernel serialization costs more.
+    # Kept as tested infrastructure (ROUND4_NOTES.md).
+    import os
+
+    if os.environ.get("DYNAMIC_LLAVA_Q4_MLP") not in ("1", "true", "True"):
+        return None
     g, u, d = leaves
     li = g.get("li")
     if u.get("li") is not li or d.get("li") is not li:

@@ -133,10 +133,27 @@ def _q4_gemv_kernel(
     )
 
 
+def _window_cap() -> int:
+    """Per-DMA-window byte cap for the streaming GEMV plans. Default 2 MB;
+    DYNAMIC_LLAVA_Q4_WINDOW_MB overrides (probe knob — the residual
+    per-chunk cost is scalar wait/issue work, so fewer/larger windows is
+    the lever the slope probe sweeps before any default changes)."""
+    import os
+
+    try:
+        return int(
+            float(os.environ.get("DYNAMIC_LLAVA_Q4_WINDOW_MB", "2"))
+            * (1 << 20)
+        )
+    except ValueError:
+        return 2 << 20
+
+
 def _pick_tk(k_dim: int, half: int) -> int:
     """Row-block size: ~2 MB per buffer, int8-sublane (32) aligned."""
+    cap = _window_cap()
     for tk in (512, 256, 128, 64, 32):
-        if k_dim % tk == 0 and tk * half <= (2 << 20):
+        if k_dim % tk == 0 and tk * half <= cap:
             return tk
     return 0
 
@@ -604,8 +621,9 @@ def _q4_multi_plan(k_dim: int, halves, rows: int):
     if rows > 64:
         return None
     tm = -(-rows // 8) * 8
+    cap = _window_cap()
     for tk in (512, 256, 128):
-        if k_dim % tk or any(tk * h > (2 << 20) for h in halves):
+        if k_dim % tk or any(tk * h > cap for h in halves):
             continue
         stack = sum(2 * tm * h * 4 * 2 + 2 * tk * h for h in halves)
         stack += tm * k_dim * 2
