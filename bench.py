@@ -292,6 +292,10 @@ def run_child():
     print("BENCH_RESULT " + json.dumps(r))
 
 
+class _BudgetExhausted(RuntimeError):
+    """Raised when the wall-clock budget can no longer fit a side run."""
+
+
 class _FullRun:
     """Headline-first streaming bench with a wall-clock budget."""
 
@@ -343,7 +347,13 @@ class _FullRun:
             env["BENCH_SPEC_K"] = str(spec["spec_k"])
         import subprocess
 
-        timeout = max(min(self.remaining() - 20, 3400), 60)
+        timeout = min(self.remaining() - 20, 3400)
+        if timeout < 120:
+            # Not enough budget left for even a cached-compile side; record
+            # it as a budget skip, not an arm error (the r4 sim run logged
+            # "side timed out after 60s" as errors:1 when the real cause
+            # was simply the end of the budget window).
+            raise _BudgetExhausted("wall-clock budget exhausted")
         self.current_child = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
@@ -354,6 +364,12 @@ class _FullRun:
         except subprocess.TimeoutExpired:
             self.current_child.kill()
             out, err = self.current_child.communicate()
+            if self.remaining() < 60:
+                # The side's timeout was clamped by the closing budget
+                # window — budget exhaustion, not a failing side.
+                raise _BudgetExhausted(
+                    f"wall-clock budget expired mid-side ({timeout:.0f}s)"
+                )
             raise RuntimeError(f"side timed out after {timeout:.0f}s")
         finally:
             self.current_child = None
@@ -377,6 +393,12 @@ class _FullRun:
         try:
             sparse = self.run_side(arm["sparse"], "sparse")
             dense = self.run_side(arm["dense"], "dense")
+        except _BudgetExhausted as e:
+            self.detail[name] = {
+                "config": {"sparse": arm["sparse"], "dense": arm["dense"]},
+                "skipped": str(e),
+            }
+            return
         except Exception as e:  # an arm OOM/timeout must not sink the bench
             self.detail[name] = {
                 "config": {"sparse": arm["sparse"], "dense": arm["dense"]},

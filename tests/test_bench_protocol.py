@@ -80,6 +80,40 @@ def test_sigterm_mid_print_leaves_parseable_last_line():
     assert summary["metric"] == "decode_tok_s_sparse_7b_int8_b24_vs_dense_b8"
 
 
+def test_run_side_budget_floor_raises_budget_exhausted():
+    # With under ~2 min of budget left, launching a side subprocess can
+    # only end in a clamped timeout; run_side must classify that as budget
+    # exhaustion (skip) rather than an arm error (r4 sim logged errors:1
+    # for exactly this case).
+    import pytest
+
+    bench = _import_bench()
+    run = bench._FullRun(100.0)
+    spec = {"model": "small", "batch": 1, "new_tokens": 8, "text_len": 8,
+            "quant": None, "cache_dtype": None, "spec_k": None}
+    with pytest.raises(bench._BudgetExhausted):
+        run.run_side(spec, "sparse")
+
+
+def test_run_arm_records_budget_exhaustion_as_skip(monkeypatch, tmp_path):
+    bench = _import_bench()
+    monkeypatch.chdir(tmp_path)  # emit_summary writes ./bench_detail.json
+    run = bench._FullRun(600.0)
+
+    def _exhausted(spec, which):
+        raise bench._BudgetExhausted("wall-clock budget exhausted")
+
+    monkeypatch.setattr(run, "run_side", _exhausted)
+    run.run_arm("7b_batch")
+    rec = run.detail["7b_batch"]
+    assert "skipped" in rec
+    assert "error" not in rec
+    # and the summary therefore reports zero errors
+    run.emit_summary()
+    assert json.loads((tmp_path / "bench_detail.json").read_text())[
+        "summary"]["errors"] == 0
+
+
 def test_sigterm_with_nothing_completed_reports_incomplete():
     script = textwrap.dedent(
         """
