@@ -74,27 +74,48 @@ def test_optimizer_labels():
 
 
 _ISOLATE_ENV = "DYNAMIC_LLAVA_TEST_ISOLATED"
+# XLA's CPU backend segfaults compiling this module's big train-step
+# programs when they run late in a long single-process pytest session
+# (observed three times: twice at the 3-axis mesh step compile, once at
+# the grad-accum step compile — rc=139 inside backend_compile_and_load /
+# the compilation-cache write); a fresh process compiles them reliably
+# every time. The first of these tests to run re-runs ALL of them in ONE
+# fresh subprocess (amortizing the ~25 s interpreter+import startup);
+# each test then asserts the shared outcome.
+_HEAVY_TESTS = (
+    "test_sharded_train_step_matches_single_device",
+    "test_train_step_decreases_loss_single_device",
+    "test_grad_accumulation_matches_full_batch",
+)
+_heavy_result = {}
+
+
+def _heavy_isolated(name: str) -> bool:
+    """True if the caller should return (it ran isolated instead)."""
+    if os.environ.get(_ISOLATE_ENV) == "1":
+        return False
+    if not _heavy_result:
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+             os.path.abspath(__file__), "-k", " or ".join(_HEAVY_TESTS)],
+            env=dict(os.environ, **{_ISOLATE_ENV: "1"}),
+            capture_output=True, text=True, timeout=1800,
+        )
+        _heavy_result["rc"] = proc.returncode
+        # a renamed test would be silently deselected by -k; require the
+        # full count so drift fails loudly instead of passing vacuously
+        _heavy_result["all_ran"] = f"{len(_HEAVY_TESTS)} passed" in proc.stdout
+        _heavy_result["log"] = f"{proc.stdout[-3000:]}\n{proc.stderr[-2000:]}"
+    assert _heavy_result["rc"] == 0 and _heavy_result["all_ran"], (
+        f"isolated train-step tests failed (asserted from {name}):\n"
+        + _heavy_result["log"]
+    )
+    return True
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_train_step_matches_single_device():
-    # XLA's CPU backend segfaults compiling this test's large 3-axis mesh
-    # program when it runs late in a long single-process pytest session
-    # (observed twice at the stepN compile below: rc=139 inside
-    # backend_compile_and_load / the compilation-cache write); a fresh
-    # process compiles it reliably every time. Re-run ourselves isolated.
-    if os.environ.get(_ISOLATE_ENV) != "1":
-        proc = subprocess.run(
-            [sys.executable, "-m", "pytest", "-x", "-q",
-             f"{os.path.abspath(__file__)}::"
-             "test_sharded_train_step_matches_single_device"],
-            env=dict(os.environ, **{_ISOLATE_ENV: "1"}),
-            capture_output=True, text=True, timeout=1200,
-        )
-        assert proc.returncode == 0, (
-            "isolated sharded-train-step test failed:\n"
-            f"{proc.stdout[-3000:]}\n{proc.stderr[-2000:]}"
-        )
+    if _heavy_isolated("test_sharded_train_step_matches_single_device"):
         return
     cfg = _cfg()
     params = dynamic.init_llava_params(jax.random.key(0), cfg)
@@ -134,6 +155,8 @@ def test_sharded_train_step_matches_single_device():
 
 
 def test_train_step_decreases_loss_single_device():
+    if _heavy_isolated("test_train_step_decreases_loss_single_device"):
+        return
     cfg = _cfg()
     params = dynamic.init_llava_params(jax.random.key(1), cfg)
     optimizer = make_optimizer(base_lr=5e-3, predictor_lr=5e-3)
@@ -156,6 +179,8 @@ def test_grad_accumulation_matches_full_batch():
     NOT possible — so compare against the averaged-grad construction)."""
     import optax
 
+    if _heavy_isolated("test_grad_accumulation_matches_full_batch"):
+        return
     cfg = _cfg()
     params = dynamic.init_llava_params(jax.random.key(3), cfg)
     optimizer = make_optimizer(base_lr=1e-3, predictor_lr=1e-3)
