@@ -22,3 +22,28 @@ jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+# XLA:CPU crashes (SIGSEGV or abort) when loading yet another executable
+# late in a long single-process session — observed around test ~190 of the
+# fast tier in three distinct paths: backend_compile_and_load (fresh
+# compile), put_executable_and_time (cache serialize), and
+# get_executable_and_time (cache deserialize). The same programs
+# compile/serialize/deserialize fine in a fresh process, host RAM is barely
+# used, and /proc maps stay flat (~1.8k) — the common factor is the NUMBER
+# of live loaded executables in the process. Mitigation: periodically drop
+# every traced/compiled function with jax.clear_caches() so the live set
+# stays bounded; re-runs of cleared programs re-load from the persistent
+# cache (cheap) instead of recompiling.
+_CLEAR_CACHES_EVERY = int(
+    os.environ.get("DYNAMIC_LLAVA_CLEAR_CACHES_EVERY", "50")
+)
+_test_counter = {"n": 0}
+
+
+def pytest_runtest_setup(item):
+    _test_counter["n"] += 1
+    if _CLEAR_CACHES_EVERY and _test_counter["n"] % _CLEAR_CACHES_EVERY == 0:
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
