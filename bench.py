@@ -304,13 +304,16 @@ class _BudgetExhausted(RuntimeError):
 class _FullRun:
     """Headline-first streaming bench with a wall-clock budget."""
 
-    def __init__(self, budget_s: float):
+    def __init__(self, budget_s: float, handle_signals: bool = True):
         self.deadline = time.time() + budget_s
         self.detail = {}
         self.side_cache = {}  # spec-tuple -> result (identical sides reuse)
         self.current_child = None
-        signal.signal(signal.SIGTERM, self._on_term)
-        signal.signal(signal.SIGINT, self._on_term)
+        # handle_signals=False for in-process tests: _on_term os._exit(0)s,
+        # which would make a killed test suite report success.
+        if handle_signals:
+            signal.signal(signal.SIGTERM, self._on_term)
+            signal.signal(signal.SIGINT, self._on_term)
 
     def _on_term(self, signum, frame):
         # external kill (driver timeout): stop the in-flight arm, emit the

@@ -19,8 +19,12 @@ is two device programs:
    into the freed slot of the live batched state.
 
 Decode never stops or recompiles while requests come and go; greedy
-tokens are bit-identical to a solo ``Generator.generate`` run of the
-same request (pinned by tests/test_continuous.py, including slot reuse).
+tokens match a solo ``Generator.generate`` run of the same request
+token-for-token (pinned by tests/test_continuous.py on the CPU backend,
+including slot reuse). On TPU bf16 the match is semantic rather than
+guaranteed-bitwise: a batch-k admission prefill may tile its matmuls
+differently from the solo batch-1 program, so an exact logit near-tie
+could in principle resolve differently.
 
 Sampling is per-SLOT: each request carries its own temperature/top_p,
 spliced into [slots] device vectors at admission and applied row-wise
@@ -325,6 +329,7 @@ class ContinuousEngine:
         emitted_np = packed_np[chunk_rows : 2 * chunk_rows].astype(bool)
         active_np = packed_np[-1].astype(bool)
         fresh: Dict[int, List[int]] = {}
+        freed: List[int] = []
         for slot, rid in enumerate(slot_req):
             if rid is None:
                 continue
@@ -343,6 +348,15 @@ class ContinuousEngine:
                 # free the slot only if it still belongs to this request
                 if self._slot_req[slot] == rid:
                     self._slot_req[slot] = None
+                    freed.append(slot)
+        if freed:
+            # reset the freed slots' sampling params to greedy: a retired
+            # top_p<1 request must not keep the [slots, vocab] top-p sort
+            # branch live in every later chunk (its lax.cond fires on
+            # jnp.any(top_ps < 1.0) — generate._sample_per_slot)
+            idx = jnp.asarray(freed, jnp.int32)
+            self.temps = self.temps.at[idx].set(0.0)
+            self.top_ps = self.top_ps.at[idx].set(1.0)
         return fresh
 
     def step(self) -> Dict[int, List[int]]:

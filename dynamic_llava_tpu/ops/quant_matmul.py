@@ -756,9 +756,12 @@ def _q4_mlp_kernel(
         for c in range(min(1, na)):
             dma_a(gbuf, gsem, g_hbm, c, c).start()
             dma_a(ubuf, usem, u_hbm, c, c).start()
-        # prefetch the down stream's first windows now — by the time
-        # phase A's ~22 MB have streamed, these are long since resident
-        for c in range(min(2, nb)):
+        # prefetch the down stream's first window now — by the time
+        # phase A's ~22 MB have streamed, it is long since resident.
+        # Only window 0: loop_b's i+1 prefetch covers window 1 (starting
+        # it here too would double-signal dsem[1] and let a later wait
+        # complete one copy early).
+        for c in range(min(1, nb)):
             dma_b(c, c).start()
 
         def loop_a(i, accs):

@@ -82,6 +82,8 @@ def main():
                    "ttft_ms": r.get("ttft_device_ms", r["ttft_ms"]),
                    "live_gb": r.get("live_after_decode_gb"),
                    "peak_minus_model_gb": r.get("peak_minus_model_gb")}
+        except bench._BudgetExhausted as e:  # unmeasured, not a failed fit
+            rec = {"row": label, "skipped": str(e)}
         except RuntimeError as e:  # OOM / timeout: the boundary is data
             rec = {"row": label, "error": str(e)[-400:]}
         results.append(rec)

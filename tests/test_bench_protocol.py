@@ -88,7 +88,7 @@ def test_run_side_budget_floor_raises_budget_exhausted():
     import pytest
 
     bench = _import_bench()
-    run = bench._FullRun(100.0)
+    run = bench._FullRun(100.0, handle_signals=False)
     spec = {"model": "small", "batch": 1, "new_tokens": 8, "text_len": 8,
             "quant": None, "cache_dtype": None, "spec_k": None}
     with pytest.raises(bench._BudgetExhausted):
@@ -98,7 +98,7 @@ def test_run_side_budget_floor_raises_budget_exhausted():
 def test_run_arm_records_budget_exhaustion_as_skip(monkeypatch, tmp_path):
     bench = _import_bench()
     monkeypatch.chdir(tmp_path)  # emit_summary writes ./bench_detail.json
-    run = bench._FullRun(600.0)
+    run = bench._FullRun(600.0, handle_signals=False)
 
     def _exhausted(spec, which):
         raise bench._BudgetExhausted("wall-clock budget exhausted")
