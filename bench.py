@@ -356,6 +356,7 @@ class _FullRun:
         import subprocess
 
         timeout = min(self.remaining() - 20, 3400)
+        budget_clamped = timeout < 3400  # the budget window, not the side, set it
         if timeout < 120:
             # Not enough budget left for even a cached-compile side; record
             # it as a budget skip, not an arm error (the r4 sim run logged
@@ -372,9 +373,11 @@ class _FullRun:
         except subprocess.TimeoutExpired:
             self.current_child.kill()
             out, err = self.current_child.communicate()
-            if self.remaining() < 60:
-                # The side's timeout was clamped by the closing budget
-                # window — budget exhaustion, not a failing side.
+            if budget_clamped:
+                # The side's timeout was clamped AT LAUNCH by the closing
+                # budget window — budget exhaustion, not a failing side. A
+                # side that hangs for the full unclamped 3400 s stays an arm
+                # error even if the budget happens to be low afterwards.
                 raise _BudgetExhausted(
                     f"wall-clock budget expired mid-side ({timeout:.0f}s)"
                 )

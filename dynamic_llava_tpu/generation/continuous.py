@@ -95,12 +95,13 @@ def _row_state(state: dynamic.GenState, i: int) -> dynamic.GenState:
     )
 
 
-# Module-level jitted-splice cache (keyed by admission batch size k; JAX
-# itself re-specializes on state shapes/dtypes within a wrapper): traces
-# must survive engine-instance churn — a per-instance jax.jit wrapper
-# retraces on every fresh engine, which measured as seconds of the
+# Module-level jitted-splice cache (keyed by admission batch size k plus
+# the kernel-dispatch env knobs — see generate._env_key; JAX itself
+# re-specializes on state shapes/dtypes within a wrapper): traces must
+# survive engine-instance churn — a per-instance jax.jit wrapper retraces
+# on every fresh engine, which measured as seconds of the
 # continuous-batching bench's makespan on the 1-core host.
-_SPLICE_CACHE: Dict[int, object] = {}
+_SPLICE_CACHE: Dict[tuple, object] = {}
 
 
 def _splice_fn_k(k: int):
@@ -109,8 +110,11 @@ def _splice_fn_k(k: int):
     (separate eager updates would pay one host round-trip each through
     the tunnel). ``k`` is static; slots/max_news/temps/top_ps are [k]
     device vectors."""
-    if k in _SPLICE_CACHE:
-        return _SPLICE_CACHE[k]
+    from .generate import _env_key
+
+    key = (k, _env_key())
+    if key in _SPLICE_CACHE:
+        return _SPLICE_CACHE[key]
 
     def impl(state, active, hist, n_emit, limit, temps, top_ps,
              state_k, slots, max_news, r_temps, r_top_ps):
@@ -133,7 +137,7 @@ def _splice_fn_k(k: int):
         return state, active, hist, n_emit, limit, temps, top_ps
 
     fn = jax.jit(impl, donate_argnums=(0,))
-    _SPLICE_CACHE[k] = fn
+    _SPLICE_CACHE[key] = fn
     return fn
 
 

@@ -107,16 +107,53 @@ def _sample_per_slot(rng, logits: jax.Array, temps: jax.Array,
 # Generator — measured as ~40% of the continuous-batching bench's engine
 # makespan. cfg/gen_cfg are hashable (frozen dataclass / NamedTuple) and
 # every chunk closure is keyed by them below.
-_PREFILL_JIT = jax.jit(
-    dynamic.prefill, static_argnums=(1,),
-    static_argnames=("all_have_image", "ring_mode"),
-    donate_argnums=(11,),
+#
+# Kernel-dispatch env knobs are read at TRACE time, so a process-lifetime
+# trace cache must key on them too: probe harnesses that toggle e.g.
+# DYNAMIC_LLAVA_FLASH between paired runs would otherwise silently reuse a
+# trace compiled under the old setting (wrong dispatch, perf not numerics —
+# the kernels are oracle-equivalent).
+_ENV_KNOBS = (
+    "DYNAMIC_LLAVA_FLASH",
+    "DYNAMIC_LLAVA_Q4_KERNEL",
+    "DYNAMIC_LLAVA_Q8_KERNEL",
+    "DYNAMIC_LLAVA_Q4_MLP",
+    "DYNAMIC_LLAVA_Q4_UNPACK",
+    "DYNAMIC_LLAVA_Q4_WINDOW_MB",
 )
-_DECODE_JIT = jax.jit(
-    dynamic.decode_step, static_argnums=(1,),
-    static_argnames=("kv_overflow",), donate_argnums=(3,),
-)
-_CHUNK_CACHE = {}  # (cfg, gen_cfg, per-fn key) -> jitted program
+
+
+def _env_key() -> tuple:
+    import os
+
+    return tuple(os.environ.get(k) for k in _ENV_KNOBS)
+
+
+_JIT_CACHE = {}  # ("prefill"|"decode", env_key) -> jit wrapper
+
+
+def _prefill_jit():
+    key = ("prefill", _env_key())
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = jax.jit(
+            dynamic.prefill, static_argnums=(1,),
+            static_argnames=("all_have_image", "ring_mode"),
+            donate_argnums=(11,),
+        )
+    return _JIT_CACHE[key]
+
+
+def _decode_jit():
+    key = ("decode", _env_key())
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = jax.jit(
+            dynamic.decode_step, static_argnums=(1,),
+            static_argnames=("kv_overflow",), donate_argnums=(3,),
+        )
+    return _JIT_CACHE[key]
+
+
+_CHUNK_CACHE = {}  # (cfg, gen_cfg, env_key, per-fn key) -> jitted program
 
 
 class Generator:
@@ -143,11 +180,12 @@ class Generator:
         self.gen_cfg = gen_cfg
         # params are explicit jit arguments (a closure would bake the full
         # weight pytree into the HLO as constants); cfg is static. The
-        # wrappers are module-level so traces survive instance churn.
-        self._prefill = _PREFILL_JIT
-        self._decode = _DECODE_JIT
+        # wrappers are module-level so traces survive instance churn; the
+        # env key isolates traces compiled under different kernel knobs.
+        self._prefill = _prefill_jit()
+        self._decode = _decode_jit()
         self._decode_chunks = _CHUNK_CACHE
-        self._cache_ns = (cfg, gen_cfg)  # trace-cache key namespace
+        self._cache_ns = (cfg, gen_cfg, _env_key())  # trace-cache namespace
 
     def _decode_chunk_fn(self, n_steps: int):
         """Jitted: sample+decode n_steps tokens on device, return the tokens.

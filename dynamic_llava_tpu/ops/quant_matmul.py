@@ -843,13 +843,14 @@ def _q4_mlp_plan(k_dim: int, half_f: int, half_d: int, rows: int):
     activation, the down window, and the down accumulators."""
     if rows > 64:
         return None
+    cap = _window_cap()
     f_dim = 2 * half_f
     tm = -(-rows // 8) * 8
     for tk in (512, 256, 128):
-        if k_dim % tk or tk * half_f > (2 << 20):
+        if k_dim % tk or tk * half_f > cap:
             continue
         for tk2 in (512, 256, 128):
-            if f_dim % tk2 or tk2 * half_d > (2 << 20):
+            if f_dim % tk2 or tk2 * half_d > cap:
                 continue
             stack = 2 * 2 * tk * half_f + 2 * tk2 * half_d  # DMA windows
             stack += 4 * tm * half_f * 4 * 2  # phase-A fp32 carries

@@ -2,6 +2,7 @@
 
 import dataclasses
 import os
+import re
 import subprocess
 import sys
 
@@ -102,14 +103,27 @@ def _heavy_isolated(name: str) -> bool:
             capture_output=True, text=True, timeout=1800,
         )
         _heavy_result["rc"] = proc.returncode
-        # a renamed test would be silently deselected by -k; require the
-        # full count so drift fails loudly instead of passing vacuously
-        _heavy_result["all_ran"] = f"{len(_HEAVY_TESTS)} passed" in proc.stdout
+        # a renamed test would be silently deselected by -k; require that
+        # passed+skipped covers the full set so drift fails loudly instead
+        # of passing vacuously. Skips propagate (the subprocess may
+        # legitimately skip, e.g. a pre-set XLA_FLAGS device count < 8
+        # keeps conftest from forcing 8 virtual devices).
+        m_pass = re.search(r"(\d+) passed", proc.stdout)
+        m_skip = re.search(r"(\d+) skipped", proc.stdout)
+        n_pass = int(m_pass.group(1)) if m_pass else 0
+        n_skip = int(m_skip.group(1)) if m_skip else 0
+        _heavy_result["all_ran"] = n_pass + n_skip == len(_HEAVY_TESTS)
+        _heavy_result["skipped"] = n_skip
         _heavy_result["log"] = f"{proc.stdout[-3000:]}\n{proc.stderr[-2000:]}"
     assert _heavy_result["rc"] == 0 and _heavy_result["all_ran"], (
         f"isolated train-step tests failed (asserted from {name}):\n"
         + _heavy_result["log"]
     )
+    if _heavy_result["skipped"]:
+        pytest.skip(
+            f"{_heavy_result['skipped']} of the isolated train-step tests "
+            "skipped in the subprocess"
+        )
     return True
 
 
