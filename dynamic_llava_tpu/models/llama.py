@@ -327,6 +327,24 @@ def layer_nocache(
 # ---------------------------------------------------------------------------
 
 
+_FLASH_SAVE_NAMES = ("flash_out", "flash_lse", "flash_policy_out")
+
+
+def _remat_policy(name: str):
+    cp = jax.checkpoint_policies
+    if name == "dots":
+        return cp.dots_with_no_batch_dims_saveable
+    if name == "flash":
+        return cp.save_only_these_names(*_FLASH_SAVE_NAMES)
+    if name == "flash_dots":
+        return cp.save_from_both_policies(
+            cp.dots_with_no_batch_dims_saveable,
+            cp.save_only_these_names(*_FLASH_SAVE_NAMES),
+        )
+    assert name == "nothing", name
+    return cp.nothing_saveable
+
+
 def run_layers_nocache(
     params,
     cfg: LlamaConfig,
@@ -349,7 +367,12 @@ def run_layers_nocache(
     (minimum memory — the 7B regime); "dots" saves the weight-matmul
     outputs (qkv/o/mlp projections — where the FLOPs are) and recomputes
     only the cheap elementwise/attention pieces, trading ~per-layer
-    activation memory for most of the recompute FLOPs."""
+    activation memory for most of the recompute FLOPs; "flash" saves ONLY
+    the attention outputs (+ FA2 per-row logsumexp), so the backward never
+    re-runs an attention forward — the FA2 dq/dkv kernels reconstruct from
+    the saved lse and cheaply-recomputed q/k/v — at ~1 activation per layer
+    of extra memory; "flash_dots" combines both (dots + attention outputs:
+    most memory, least recompute)."""
     hi = cfg.num_hidden_layers if hi is None else hi
     layers = params["layers"]
 
@@ -358,12 +381,7 @@ def run_layers_nocache(
         return layer_nocache(lp, cfg, x, positions, mask, policy, training), None
 
     if remat:
-        ckpt_policy = (
-            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-            if remat_policy == "dots"
-            else jax.checkpoint_policies.nothing_saveable
-        )
-        body = jax.checkpoint(body, policy=ckpt_policy)
+        body = jax.checkpoint(body, policy=_remat_policy(remat_policy))
     x, _ = jax.lax.scan(body, x, jnp.arange(lo, hi, dtype=jnp.int32))
     return x
 

@@ -239,23 +239,28 @@ def _interpret_mode() -> bool:
         return True
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _flash_vjp_core(q, k, v, kv_length, causal):
-    return flash_attention(
-        q, k, v, kv_length=kv_length, causal=causal,
-        interpret=_interpret_mode(),
-    )
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _flash_attach_bwd(q, k, v, kv_length, out, lse, causal):
+    """Identity on ``out`` that carries the FA2 backward.
+
+    The forward kernel runs OUTSIDE this custom_vjp (under stop_gradient),
+    and its (out, lse) outputs — tagged with ``checkpoint_name`` — enter
+    here as plain inputs. So every residual the backward needs is an
+    ordinary jaxpr value: under ``jax.checkpoint`` with a policy that saves
+    the "flash_out"/"flash_lse" names, the rematerialized backward gets
+    (out, lse) from the saved set and q/k/v from the (cheap) recomputed
+    projections, and the forward attention kernel is dead code in the
+    recompute — the flash-aware remat policy (models.llama.run_layers_nocache
+    remat_policy="flash"). Residuals hidden inside a custom_vjp fwd would
+    not be visible to the remat partial-eval; inputs are."""
+    return out
 
 
-def _flash_vjp_fwd(q, k, v, kv_length, causal):
-    out, lse = flash_attention(
-        q, k, v, kv_length=kv_length, causal=causal, save_residuals=True,
-        interpret=_interpret_mode(),
-    )
+def _flash_attach_fwd(q, k, v, kv_length, out, lse, causal):
     return out, (q, k, v, kv_length, out, lse)
 
 
-def _flash_vjp_bwd(causal, residuals, g):
+def _flash_attach_bwd_rule(causal, residuals, g):
     """True flash backward: dq/dk/dv kernels stream kv blocks against saved
     per-row logsumexp — the S^2 score matrix exists in neither pass."""
     q, k, v, kv_length, out, lse = residuals
@@ -263,18 +268,31 @@ def _flash_vjp_bwd(causal, residuals, g):
         q, k, v, out, lse, g, kv_length=kv_length, causal=causal,
         interpret=_interpret_mode(),
     )
-    return dq, dk, dv, None
+    # out/lse cotangents die at the stop_gradient below their production
+    return dq, dk, dv, None, jnp.zeros_like(out), jnp.zeros_like(lse)
 
 
-_flash_vjp_core.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+_flash_attach_bwd.defvjp(_flash_attach_fwd, _flash_attach_bwd_rule)
 
 
 def flash_attention_vjp(q, k, v, *, kv_length=None, causal=True):
-    """Flash forward + differentiable (recompute) backward — safe inside
+    """Flash forward + differentiable (FA2 kernel) backward — safe inside
     jax.grad / jax.checkpoint, used by the training path on TPU."""
+    from jax.ad_checkpoint import checkpoint_name
+
     if kv_length is None:
         kv_length = jnp.full((q.shape[0],), k.shape[1], jnp.int32)
-    return _flash_vjp_core(q, k, v, kv_length, causal)
+    # stop_gradient on the kernel INPUTS: the forward kernel is out of the
+    # AD graph entirely (it has no JVP rule); _flash_attach_bwd carries the
+    # gradient instead
+    out, lse = flash_attention(
+        jax.lax.stop_gradient(q), jax.lax.stop_gradient(k),
+        jax.lax.stop_gradient(v), kv_length=kv_length, causal=causal,
+        save_residuals=True, interpret=_interpret_mode(),
+    )
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
+    return _flash_attach_bwd(q, k, v, kv_length, out, lse, causal)
 
 
 # ---------------------------------------------------------------------------

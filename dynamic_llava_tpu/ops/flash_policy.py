@@ -134,8 +134,13 @@ def flash_policy_attention(
     eps: float = 1e-6,
     block_q: int = 256,
     block_k: int = 512,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> jax.Array:
+    if interpret is None:
+        # CPU (e.g. forced-flash tests) must run the kernel interpreted
+        from .flash_attention import _interpret_mode
+
+        interpret = _interpret_mode()
     b, s, h, d = q.shape
     hkv = k.shape[2]
     n_rep = h // hkv
@@ -200,15 +205,21 @@ def flash_policy_attention(
 
 
 @jax.custom_vjp
-def _policy_vjp_core(q, k, v, policy):
-    return flash_policy_attention(q, k, v, policy)
+def _policy_attach_bwd(q, k, v, policy, out):
+    """Identity on ``out`` carrying the recompute backward. The fused
+    forward kernel runs outside (under stop_gradient) with its output
+    tagged ``checkpoint_name("flash_policy_out")``: under a remat policy
+    that saves the name, the backward's residuals (q/k/v/policy — plain
+    inputs here) come from cheap recomputed projections and the forward
+    kernel is dead code in the recompute (see flash_attention._flash_attach_bwd)."""
+    return out
 
 
-def _policy_vjp_fwd(q, k, v, policy):
-    return flash_policy_attention(q, k, v, policy), (q, k, v, policy)
+def _policy_attach_fwd(q, k, v, policy, out):
+    return out, (q, k, v, policy)
 
 
-def _policy_vjp_bwd(residuals, g):
+def _policy_attach_bwd_rule(residuals, g):
     """Blockwise-remat gradient recompute (O(block x S) memory; see
     attention.blockwise_attend)."""
     from .attention import blockwise_attend
@@ -218,13 +229,18 @@ def _policy_vjp_bwd(residuals, g):
     def oracle(q_, k_, v_, p_):
         return blockwise_attend(q_, k_, v_, policy=p_)
 
-    _, vjp = jax.vjp(oracle, q, k, v, policy)
-    return vjp(g)
+    out_shape, vjp = jax.vjp(oracle, q, k, v, policy)
+    return vjp(g) + (jnp.zeros_like(out_shape),)
 
 
-_policy_vjp_core.defvjp(_policy_vjp_fwd, _policy_vjp_bwd)
+_policy_attach_bwd.defvjp(_policy_attach_fwd, _policy_attach_bwd_rule)
 
 
 def flash_policy_attention_vjp(q, k, v, policy):
     """Fused forward + recompute backward — safe under jax.grad/remat."""
-    return _policy_vjp_core(q, k, v, policy)
+    from jax.ad_checkpoint import checkpoint_name
+
+    sg = jax.lax.stop_gradient
+    out = flash_policy_attention(sg(q), sg(k), sg(v), sg(policy))
+    out = checkpoint_name(out, "flash_policy_out")
+    return _policy_attach_bwd(q, k, v, policy, out)

@@ -52,6 +52,74 @@ def _encode_image(image) -> str:
     return base64.b64encode(buf.getvalue()).decode()
 
 
+def vote_last_response(state, vote_type: str, model_selector: str,
+                       ip: str = ""):
+    """Append a vote record to the conversation log (reference
+    gradio_web_server.py:84-93): same jsonl file as chat records, with the
+    vote type in the ``type`` field so downstream analysis can join them."""
+    with open(get_conv_log_filename(), "a") as f:
+        f.write(json.dumps({
+            "tstamp": round(time.time(), 4),
+            "type": vote_type,
+            "model": model_selector,
+            "state": state.dict(),
+            "ip": ip,
+        }) + "\n")
+
+
+def upvote_last_response(state, model_selector, request=None):
+    logger.info("upvote.")
+    vote_last_response(state, "upvote", model_selector, _ip(request))
+    return ("",) + (disable_btn,) * 3
+
+
+def downvote_last_response(state, model_selector, request=None):
+    logger.info("downvote.")
+    vote_last_response(state, "downvote", model_selector, _ip(request))
+    return ("",) + (disable_btn,) * 3
+
+
+def flag_last_response(state, model_selector, request=None):
+    logger.info("flag.")
+    vote_last_response(state, "flag", model_selector, _ip(request))
+    return ("",) + (disable_btn,) * 3
+
+
+def _ip(request) -> str:
+    client = getattr(request, "client", None)
+    return getattr(client, "host", "") if client is not None else ""
+
+
+def regenerate(state, image_process_mode="Default", request=None):
+    """Blank the last assistant turn and re-enable the bot flow so the same
+    prompt is resubmitted (reference :109-116). A previous human turn that
+    carried an image keeps it, with the (possibly changed) process mode."""
+    logger.info("regenerate.")
+    state.messages[-1][-1] = None
+    prev_human = state.messages[-2]
+    if isinstance(prev_human[1], (tuple, list)):
+        prev_human[1] = (*prev_human[1][:2], image_process_mode)
+    state.skip_next = False
+    return (state, _chat_pairs(state), "", None) + (disable_btn,) * 5
+
+
+def clear_history(request=None):
+    logger.info("clear_history.")
+    state = default_conversation.copy()
+    return (state, _chat_pairs(state), "", None) + (disable_btn,) * 5
+
+
+def _chat_pairs(state):
+    """Render conversation messages as gradio chatbot [user, bot] pairs."""
+    chat = []
+    msgs = state.messages[state.offset:]
+    for i in range(0, len(msgs) - 1, 2):
+        q, a = msgs[i][1], msgs[i + 1][1]
+        chat.append([q[0] if isinstance(q, (tuple, list)) else q,
+                     a[0] if isinstance(a, (tuple, list)) else a])
+    return chat
+
+
 def http_bot(state, model_selector, temperature, top_p, max_new_tokens,
              controller_url: str):
     """Core request flow: controller -> worker -> streamed chunks. Yields
@@ -136,6 +204,11 @@ def build_demo(controller_url: str, concurrency_count: int = 10):
             "HTTP client speaking the worker_generate_stream protocol"
         ) from e
 
+    global no_change_btn, enable_btn, disable_btn
+    no_change_btn = gr.Button()
+    enable_btn = gr.Button(interactive=True)
+    disable_btn = gr.Button(interactive=False)
+
     models = get_model_list(controller_url)
 
     with gr.Blocks(title="Dynamic-LLaVA (TPU)") as demo:
@@ -150,6 +223,15 @@ def build_demo(controller_url: str, concurrency_count: int = 10):
             top_p = gr.Slider(0.0, 1.0, value=0.7, label="Top P")
             max_tokens = gr.Slider(0, 1024, value=512, step=64,
                                    label="Max output tokens")
+        with gr.Row(elem_id="buttons"):
+            upvote_btn = gr.Button(value="👍  Upvote", interactive=False)
+            downvote_btn = gr.Button(value="👎  Downvote", interactive=False)
+            flag_btn = gr.Button(value="⚠️  Flag", interactive=False)
+            regenerate_btn = gr.Button(value="🔄  Regenerate",
+                                       interactive=False)
+            clear_btn = gr.Button(value="🗑️  Clear", interactive=False)
+        btn_list = [upvote_btn, downvote_btn, flag_btn, regenerate_btn,
+                    clear_btn]
 
         def add_text(state, text, image):
             if len(text) <= 0 and image is None:
@@ -181,12 +263,36 @@ def build_demo(controller_url: str, concurrency_count: int = 10):
                     chat.append([q[0] if isinstance(q, tuple) else q, a])
                 yield st, chat
 
+        bot_inputs = [state, model_selector, temperature, top_p, max_tokens]
         textbox.submit(
             add_text, [state, textbox, imagebox],
             [state, textbox, imagebox, chatbot],
         ).then(
-            bot, [state, model_selector, temperature, top_p, max_tokens],
-            [state, chatbot],
+            bot, bot_inputs, [state, chatbot],
+        ).then(lambda: [enable_btn] * 5, None, btn_list)
+
+        # vote / regenerate / clear (reference gradio_web_server.py:444-462)
+        upvote_btn.click(
+            upvote_last_response, [state, model_selector],
+            [textbox, upvote_btn, downvote_btn, flag_btn],
+        )
+        downvote_btn.click(
+            downvote_last_response, [state, model_selector],
+            [textbox, upvote_btn, downvote_btn, flag_btn],
+        )
+        flag_btn.click(
+            flag_last_response, [state, model_selector],
+            [textbox, upvote_btn, downvote_btn, flag_btn],
+        )
+        regenerate_btn.click(
+            regenerate, [state],
+            [state, chatbot, textbox, imagebox] + btn_list,
+        ).then(
+            bot, bot_inputs, [state, chatbot],
+        ).then(lambda: [enable_btn] * 5, None, btn_list)
+        clear_btn.click(
+            clear_history, None,
+            [state, chatbot, textbox, imagebox] + btn_list,
         )
     return demo
 

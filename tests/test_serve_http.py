@@ -247,8 +247,12 @@ def test_gradio_http_bot_flow(tmp_path, monkeypatch):
     from dynamic_llava_tpu.conversation import default_conversation
     from dynamic_llava_tpu.serve.controller import Controller
     from dynamic_llava_tpu.serve.gradio_web_server import (
+        clear_history,
+        get_conv_log_filename,
         get_model_list,
         http_bot,
+        regenerate,
+        upvote_last_response,
     )
     from dynamic_llava_tpu.serve.http_compat import (
         controller_stdlib_app,
@@ -278,6 +282,27 @@ def test_gradio_http_bot_flow(tmp_path, monkeypatch):
     final = updates[-1].messages[-1][-1]
     assert isinstance(final, str) and not final.endswith("▌")
     assert "error_code" not in final
+
+    # regenerate blanks the assistant turn and the rerun bot flow reproduces
+    # the (deterministic echo) answer
+    state = updates[-1]
+    out = regenerate(state)
+    st2 = out[0]
+    assert st2.messages[-1][-1] is None and st2.skip_next is False
+    updates2 = list(http_bot(st2, "echo", 0.0, 1.0, 16, base))
+    assert updates2[-1].messages[-1][-1] == final
+
+    # votes append typed records to the same conversation log
+    upvote_last_response(updates2[-1], "echo")
+    with open(get_conv_log_filename()) as f:
+        types = [json.loads(line)["type"] for line in f if line.strip()]
+    assert types.count("chat") == 2 and "upvote" in types
+
+    # clear_history hands back a fresh conversation
+    cleared = clear_history()
+    assert list(map(list, cleared[0].messages)) == list(
+        map(list, default_conversation.messages))
+    assert cleared[2] == "" and cleared[3] is None
 
     csrv.shutdown()
     wsrv.shutdown()
