@@ -141,6 +141,49 @@ def _splice_fn_k(k: int):
     return fn
 
 
+def _splice_fn_k_spec(k: int, width: int):
+    """Spec-mode k-row splice: the plain splice plus the draft-context
+    scatter — each admitted row's (padded) prompt tokens land in its slot's
+    ctx row with ctx_len = valid_len, so prompt-lookup drafts see the new
+    request immediately."""
+    from .generate import _env_key
+
+    key = (k, width, "spec", _env_key())
+    if key in _SPLICE_CACHE:
+        return _SPLICE_CACHE[key]
+
+    def impl(state, active, hist, n_emit, limit, temps, top_ps,
+             state_k, slots, max_news, r_temps, r_top_ps,
+             ctx, ctx_len, rows, row_lens):
+        for i in range(k):
+            slot = slots[i]
+            row = _row_state(state_k, i)
+            state = dynamic.GenState(
+                cache=splice_tiered_slot(state.cache, row.cache, slot),
+                next_pos=jax.lax.dynamic_update_slice(
+                    state.next_pos, row.next_pos, (slot,)),
+                last_logits=jax.lax.dynamic_update_slice(
+                    state.last_logits, row.last_logits, (slot, 0)),
+            )
+            active = active.at[slot].set(True)
+            hist = hist.at[slot].set(-7)
+            n_emit = n_emit.at[slot].set(0)
+            limit = limit.at[slot].set(max_news[i])
+            temps = temps.at[slot].set(r_temps[i])
+            top_ps = top_ps.at[slot].set(r_top_ps[i])
+            ctx = jax.lax.dynamic_update_slice(
+                ctx,
+                jnp.zeros((1, ctx.shape[1]), jnp.int32).at[
+                    :, :width].set(rows[i][None]),
+                (slot, 0))
+            ctx_len = ctx_len.at[slot].set(row_lens[i])
+        return state, active, hist, n_emit, limit, temps, top_ps, ctx, ctx_len
+
+    fn = jax.jit(impl, donate_argnums=(0, 12))
+    _SPLICE_CACHE[key] = fn
+    return fn
+
+
 class ContinuousEngine:
     """Slot-based continuous batching over a fixed decode program.
 
@@ -159,24 +202,34 @@ class ContinuousEngine:
         prompt_bucket: int = 128,
         max_new_cap: int = 256,
         with_images: bool = True,
+        spec_k: int = 0,
     ):
         assert gen_cfg.kv_overflow == "drop"
+        if spec_k:
+            # speculative verify is an argmax-chain equality check —
+            # greedy-only, like every speculative mode in the repo
+            assert gen_cfg.temperature == 0.0, (
+                "spec_k requires greedy decoding (temperature 0)")
         self.cfg = cfg
         self.gen = Generator(params, cfg, gen_cfg)
         self.gc = gen_cfg
         self.slots = slots
         self.prompt_bucket = prompt_bucket
+        self.spec_k = int(spec_k)
+        self._m = self.spec_k + 1
         chunk = max(1, min(gen_cfg.decode_chunk, max_new_cap))
         # whole chunks so the final chunk's overshoot has cache room
         self.chunk = chunk
         self.max_new_cap = -(-max_new_cap // chunk) * chunk
         # capacities sized for the worst admissible request: image present
         # (longest fused prompt) and NO image-prune shrink assumed for the
-        # post tier (a text-only request keeps every prompt token)
+        # post tier (a text-only request keeps every prompt token). A spec
+        # round may write m candidates past a slot's emission budget before
+        # rollback-by-lengths, so spec mode sizes for max_new + m.
         n_img = cfg.num_image_tokens if with_images else 0
         seq_len_max = prompt_bucket + (n_img - 1 if n_img else 0)
         pre_cap, post_cap = dynamic.gen_cache_sizes(
-            cfg, seq_len_max, self.max_new_cap,
+            cfg, seq_len_max, self.max_new_cap + (self._m if spec_k else 0),
             bound_output_budget=gen_cfg.bound_kv_budget,
             all_have_image=False,
             bucket=gen_cfg.pad_multiple,
@@ -193,10 +246,25 @@ class ContinuousEngine:
             next_pos=jnp.zeros((slots,), jnp.int32),
             last_logits=jnp.zeros((slots, cfg.text.vocab_size), jnp.float32),
         )
-        self._chunk_fn, self._k_hist = self.gen._decode_chunk_stop_fn(
-            chunk, ((gen_cfg.eos_token_id,),), per_slot_sampling=True,
-            pack_results=True,
-        )
+        if spec_k:
+            # draft context: padded prompt grid + room for every emitted
+            # token (+m for the final round's overshoot)
+            self._ctx_width = seq_len_max
+            self._ctx_cap = seq_len_max + self.max_new_cap + self._m
+            self.ctx = jnp.zeros((slots, self._ctx_cap), jnp.int32)
+            self.ctx_len = jnp.zeros((slots,), jnp.int32)
+            # one verify round per plain-chunk token: worst case (all drafts
+            # rejected) emits exactly `chunk` tokens per dispatch, best case
+            # chunk*m — the host protocol just sees more token rows
+            self._spec_rounds = chunk
+            self._chunk_fn = self.gen._spec_chunk_fn(
+                chunk, self._m, self._ctx_cap)
+            self._k_hist = 1
+        else:
+            self._chunk_fn, self._k_hist = self.gen._decode_chunk_stop_fn(
+                chunk, ((gen_cfg.eos_token_id,),), per_slot_sampling=True,
+                pack_results=True,
+            )
         # per-slot device vectors driven from the host between chunks
         self.active = jnp.zeros((slots,), bool)
         self.hist = jnp.full((slots, self._k_hist), -7, jnp.int32)
@@ -229,6 +297,8 @@ class ContinuousEngine:
         max_new = int(max_new_tokens or self.gc.max_new_tokens)
         if max_new > self.max_new_cap:
             raise ValueError(f"max_new {max_new} > engine cap {self.max_new_cap}")
+        if self.spec_k and temperature:
+            raise ValueError("spec_k engine is greedy-only")
         if len(token_ids) > self.prompt_bucket:
             raise ValueError(
                 f"prompt {len(token_ids)} > bucket {self.prompt_bucket}")
@@ -280,8 +350,7 @@ class ContinuousEngine:
             pixels, cache_k,
             all_have_image=has_image, ring_mode=False,
         )
-        (self.state, self.active, self.hist, self.n_emit, self.limit,
-         self.temps, self.top_ps) = self._splice_fn(k)(
+        common = (
             self.state, self.active, self.hist, self.n_emit, self.limit,
             self.temps, self.top_ps,
             state_k, jnp.asarray(slots, jnp.int32),
@@ -289,6 +358,18 @@ class ContinuousEngine:
             jnp.asarray([r.temperature for r in reqs], jnp.float32),
             jnp.asarray([r.top_p for r in reqs], jnp.float32),
         )
+        if self.spec_k:
+            (self.state, self.active, self.hist, self.n_emit, self.limit,
+             self.temps, self.top_ps, self.ctx, self.ctx_len) = (
+                _splice_fn_k_spec(k, plan.seq_len)(
+                    *common, self.ctx, self.ctx_len,
+                    jnp.asarray(plan.token_ids, jnp.int32),
+                    jnp.asarray(plan.valid_len, jnp.int32),
+                )
+            )
+        else:
+            (self.state, self.active, self.hist, self.n_emit, self.limit,
+             self.temps, self.top_ps) = self._splice_fn(k)(*common)
         for slot, req in zip(slots, reqs):
             self._slot_req[slot] = req.id
 
@@ -317,14 +398,23 @@ class ContinuousEngine:
         fetch at the full ~25 ms tunnel round-trip) — are both IN-GRAPH
         (``pack_results``): an eager split + concat here measured ~13 ms
         of host time per chunk through the tunnel."""
-        (self.state, self.active, self.hist, self.n_emit,
-         self._rng, packed) = self._chunk_fn(
-            self.gen.params, self.state, self._rng, self.active, self.hist,
-            self.n_emit, self.limit, self.temps, self.top_ps,
-        )
+        if self.spec_k:
+            (self.state, self.active, self.n_emit, self.ctx, self.ctx_len,
+             packed) = self._chunk_fn(
+                self.gen.params, self.state, self.active, self.n_emit,
+                self.limit, self.ctx, self.ctx_len,
+            )
+            rows = self._spec_rounds * self._m
+        else:
+            (self.state, self.active, self.hist, self.n_emit,
+             self._rng, packed) = self._chunk_fn(
+                self.gen.params, self.state, self._rng, self.active,
+                self.hist, self.n_emit, self.limit, self.temps, self.top_ps,
+            )
+            rows = self.chunk
         # snapshot slot ownership AS OF this dispatch: a slot re-admitted
         # later must not swallow this chunk's (frozen, non-emitted) rows
-        self._inflight.append((packed, self.chunk, list(self._slot_req)))
+        self._inflight.append((packed, rows, list(self._slot_req)))
 
     def _process_oldest(self) -> Dict[int, List[int]]:
         packed, chunk_rows, slot_req = self._inflight.pop(0)

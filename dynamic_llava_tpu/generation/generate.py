@@ -310,6 +310,87 @@ class Generator:
         self._decode_chunks[key] = (fn, k_hist)
         return fn, k_hist
 
+    def _spec_chunk_fn(self, rounds: int, m: int, ctx_cap: int,
+                       max_ngram: int = 3, min_ngram: int = 1):
+        """Jitted SPECULATIVE decode chunk for batched serving (the
+        continuous engine's ``spec_k`` mode): ``rounds`` verify rounds of
+        ``m`` candidates each — in-graph prompt-lookup drafting + the fused
+        verify pass (``dynamic.decode_speculative_step``) with per-slot
+        active masks, so finished/frozen slots ride along as no-ops exactly
+        like the plain chunk program. Greedy-only, EOS-stop-only.
+
+        The verify pass is ONE weight read for m candidates: at weight-bound
+        batch sizes every accepted draft is nearly-free throughput, which is
+        what makes spec x batching compose (VERDICT r4 item 3).
+
+        Carries (state, active, n_emit, ctx, ctx_len); ``ctx`` is the
+        [B, ctx_cap] prompt+emitted token grid the drafts match against
+        (spliced at admission, extended in-graph on emit). Returns the
+        plain chunk's packed host-fetch payload with rounds*m token rows:
+        [tokens; emitted flags; end-of-chunk active] as one int32 array."""
+        key = (*self._cache_ns, "spec_chunk", rounds, m, ctx_cap, max_ngram,
+               min_ngram)
+        if key in self._decode_chunks:
+            return self._decode_chunks[key]
+        cfg, gc = self.cfg, self.gen_cfg
+        eos = gc.eos_token_id
+        from .speculative import device_prompt_lookup
+
+        def chunk(params, state, active, n_emit, limit, ctx, ctx_len):
+            b = ctx.shape[0]
+            bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
+            jar = jnp.arange(m, dtype=jnp.int32)[None, :]
+
+            def body(carry, _):
+                state, active, n_emit, ctx, ctx_len = carry
+                t_next = jnp.argmax(state.last_logits, -1).astype(jnp.int32)
+                if m > 1:
+                    # draft from the context INCLUDING the committed token
+                    # (see speculative._device_loop_fn: drafting without it
+                    # misaligns proposals by one and collapses acceptance)
+                    ctx_d = ctx.at[
+                        jnp.arange(b), jnp.minimum(ctx_len, ctx_cap - 1)
+                    ].set(t_next)
+                    drafts = device_prompt_lookup(
+                        ctx_d, ctx_len + 1, m - 1, max_ngram, min_ngram
+                    )
+                    tokens = jnp.concatenate([t_next[:, None], drafts], 1)
+                else:
+                    tokens = t_next[:, None]
+                state2, n_acc, _ = dynamic.decode_speculative_step(
+                    params, cfg, tokens, state, eos, active=active
+                )
+                n_take = jnp.where(
+                    active, jnp.minimum(n_acc, limit - n_emit), 0
+                )
+                emit = jar < n_take[:, None]  # [B, M]
+                # non-emitted lanes scatter out of bounds and are dropped
+                cpos = jnp.where(emit, ctx_len[:, None] + jar, ctx_cap)
+                ctx2 = ctx.at[bidx, cpos].set(tokens, mode="drop")
+                n_emit2 = n_emit + n_take
+                eos_hit = jnp.any((tokens == eos) & emit, axis=1)
+                active2 = active & ~eos_hit & (n_emit2 < limit)
+                return ((state2, active2, n_emit2, ctx2, ctx_len + n_take),
+                        (tokens, emit))
+
+            (state, active, n_emit, ctx, ctx_len), (toks, emit) = (
+                jax.lax.scan(body, (state, active, n_emit, ctx, ctx_len),
+                             None, length=rounds)
+            )
+            # [R, B, M] -> the plain chunk's token-major grid [R*M, B]
+            toks = toks.transpose(0, 2, 1).reshape(rounds * m, b)
+            emit = emit.transpose(0, 2, 1).reshape(rounds * m, b)
+            packed = jnp.concatenate(
+                [toks.astype(jnp.int32), emit.astype(jnp.int32),
+                 active.astype(jnp.int32)[None]], axis=0,
+            )
+            return state, active, n_emit, ctx, ctx_len, packed
+
+        # donate the state AND the ctx grid: both are carried chunk-to-chunk
+        fn = jax.jit(chunk, donate_argnums=(1, 5))
+        self._decode_chunks[key] = fn
+        return fn
+
     def _spec_fn(self, m: int):
         """Jitted speculative verify round for M candidate tokens
         (models.dynamic.decode_speculative_step); cached per M."""

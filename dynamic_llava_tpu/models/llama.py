@@ -380,6 +380,32 @@ def run_layers_nocache(
         lp = index_layer(layers, li)
         return layer_nocache(lp, cfg, x, positions, mask, policy, training), None
 
+    if remat and remat_policy == "alternate":
+        # half-remat: scan over PAIRS — the first layer of each pair is
+        # checkpointed (flash_dots: attention outputs + projection dots
+        # saved), the second saves ALL its intermediates as plain scan
+        # residuals. Memory sits between flash_dots and no-remat; recompute
+        # halves. The lever for depths where no-remat OOMs but flash_dots
+        # leaves MFU on the table (docs/BENCHMARKS.md 7B-width rows).
+        assert (hi - lo) % 2 == 0, (lo, hi)
+
+        def pair(x, li):
+            first = jax.checkpoint(
+                lambda x_, li_: layer_nocache(
+                    index_layer(layers, li_), cfg, x_, positions, mask,
+                    policy, training,
+                ),
+                policy=_remat_policy("flash_dots"),
+            )
+            x = first(x, li)
+            x = layer_nocache(
+                index_layer(layers, li + 1), cfg, x, positions, mask,
+                policy, training,
+            )
+            return x, None
+
+        x, _ = jax.lax.scan(pair, x, jnp.arange(lo, hi, 2, dtype=jnp.int32))
+        return x
     if remat:
         body = jax.checkpoint(body, policy=_remat_policy(remat_policy))
     x, _ = jax.lax.scan(body, x, jnp.arange(lo, hi, dtype=jnp.int32))

@@ -93,6 +93,9 @@ class BatchedWorker:
                 ),
                 slots=slots, prompt_bucket=prompt_bucket,
                 max_new_cap=max_new_cap,
+                # spec x continuous: in-chunk speculative verify rounds —
+                # the engine enforces greedy-only at submit
+                spec_k=spec_k,
             )
         self.thread = threading.Thread(
             target=self._loop_continuous if continuous else self._loop,

@@ -152,7 +152,7 @@ def main():
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--grad-accum", dest="grad_accum", type=int, default=1)
     p.add_argument("--remat-policy", dest="remat_policy", default="nothing",
-                   choices=["nothing", "dots", "flash", "flash_dots"])
+                   choices=["nothing", "dots", "flash", "flash_dots", "alternate"])
     p.add_argument("--no-remat", dest="no_remat", action="store_true",
                    help="disable per-layer gradient checkpointing: at 0.55B "
                         "B=4 the saved activations fit HBM, and full remat "

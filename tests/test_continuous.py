@@ -222,3 +222,45 @@ def test_explicit_temp_zero_matches_default_greedy(setup):
     rid = engine.submit(p, max_new_tokens=8, temperature=0.0, top_p=0.9)
     engine.run_until_drained()
     assert engine.requests[rid].output == _solo(cfg, params, p, 8, 16)
+
+
+def test_spec_mode_matches_plain_engine_and_solo(setup):
+    """spec_k engine (speculative verify inside the continuous chunk):
+    token-exact vs the plain engine AND vs solo greedy generation, with
+    staggered admission + slot reuse — accepted drafts change throughput,
+    never tokens."""
+    cfg, params = setup
+    prompts = [_prompt(60, 7), _prompt(61, 12), _prompt(62, 16)]
+    max_news = [16, 8, 12]
+
+    def run(spec_k):
+        engine = ContinuousEngine(
+            params, cfg, _gc(), slots=2, prompt_bucket=24, max_new_cap=16,
+            with_images=False, spec_k=spec_k,
+        )
+        r0 = engine.submit(prompts[0], max_new_tokens=max_news[0])
+        engine.step()
+        r1 = engine.submit(prompts[1], max_new_tokens=max_news[1])
+        r2 = engine.submit(prompts[2], max_new_tokens=max_news[2])
+        engine.run_until_drained()
+        return [engine.requests[r].output for r in (r0, r1, r2)]
+
+    spec_out = run(spec_k=3)
+    plain_out = run(spec_k=0)
+    assert spec_out == plain_out
+    for got, prompt, max_new in zip(spec_out, prompts, max_news):
+        assert got == _solo(cfg, params, prompt, max_new, 24)
+
+
+def test_spec_mode_rejects_sampling(setup):
+    cfg, params = setup
+    engine = ContinuousEngine(
+        params, cfg, _gc(), slots=1, prompt_bucket=16, max_new_cap=8,
+        with_images=False, spec_k=2,
+    )
+    with pytest.raises(ValueError):
+        engine.submit(_prompt(70, 5), max_new_tokens=8, temperature=0.7)
+    with pytest.raises(AssertionError):
+        ContinuousEngine(params, cfg, _gc(temperature=0.8), slots=1,
+                         prompt_bucket=16, max_new_cap=8,
+                         with_images=False, spec_k=2)

@@ -27,7 +27,7 @@ CFG = LlamaConfig(
     num_key_value_heads=4,
 )
 
-POLICIES = ("nothing", "dots", "flash", "flash_dots")
+POLICIES = ("nothing", "dots", "flash", "flash_dots", "alternate")
 
 
 def _setup(with_policy: bool, seed: int = 0):
