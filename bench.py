@@ -208,12 +208,27 @@ ARMS = {
                 "dense stops at B=28",
     },
 }
+# The flagship-serving continuous-batching arm (VERDICT r4 item 2): runs
+# run/continuous_bench.py at the 7B-int8 regime (24 slots, fp8 KV — 24
+# bf16-KV 7B slots exceed 16 GB) under a saturated trace and reports the
+# continuous engine's aggregate tok/s with the window batcher as baseline.
+# Opt-in (EXTRA_ARMS): one external run costs two full serving passes.
+ARMS["7b_continuous"] = {
+    "external": ["run/continuous_bench.py", "--model", "7b", "--quant",
+                 "int8", "--cache-dtype", "float8_e4m3fn", "--slots", "24",
+                 "--requests", "48", "--text", "64", "--new", "128",
+                 "--arrival-ms", "50", "--chunk", "16"],
+    "metric": "serving_decode_tok_s_continuous_7b_int8_fp8kv_s24_vs_window",
+    "note": "continuous engine vs window batcher, same weights/trace; "
+            "value = continuous agg tok/s, speedup = makespan ratio",
+}
+
 ARM_ORDER = ("7b_best", "7b_batch", "serving", "7b_ladder",
              "7b_ladder_likequant", "7b", "serving_fp8", "13b_int4")
 # Opt-in extras (BENCH_EXTRA=1): two fresh sides each, lowest headline
 # value — excluded from the default pass so it exits rc 0 inside the
 # driver's timeout window.
-EXTRA_ARMS = ("serving_int8kv", "7b_spec")
+EXTRA_ARMS = ("serving_int8kv", "7b_spec", "7b_continuous")
 
 # kept for back-compat with run/ scripts that import CONFIGS
 CONFIGS = {
@@ -393,8 +408,68 @@ class _FullRun:
             f"side failed:\n{out[-1500:]}\n{err[-1500:]}"
         )
 
+    def _run_external_arm(self, name: str, arm: dict):
+        """An arm that is one external harness run (run/continuous_bench.py)
+        instead of a sparse-vs-dense side pair; its last stdout line is the
+        harness's JSON record."""
+        import subprocess
+
+        if self.remaining() < 240:
+            self.detail[name] = {"config": {"external": arm["external"]},
+                                 "skipped": "wall-clock budget exhausted"}
+            return
+        timeout = min(self.remaining() - 20, 3400)
+        budget_clamped = timeout < 3400
+        try:
+            self.current_child = subprocess.Popen(
+                [sys.executable, os.path.abspath(arm["external"][0])]
+                + arm["external"][1:],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+            try:
+                out, err = self.current_child.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                self.current_child.kill()
+                self.current_child.communicate()
+                if budget_clamped:
+                    raise _BudgetExhausted(
+                        f"wall-clock budget expired mid-arm ({timeout:.0f}s)")
+                raise RuntimeError(f"external arm timed out ({timeout:.0f}s)")
+            finally:
+                self.current_child = None
+            rec_line = None
+            for line in out.splitlines():
+                line = line.strip()
+                if line.startswith("{") and '"metric"' in line:
+                    rec_line = line
+            if rec_line is None:
+                raise RuntimeError(
+                    f"external arm produced no record:\n{out[-1000:]}"
+                    f"\n{err[-800:]}")
+            r = json.loads(rec_line)
+            self.detail[name] = {
+                "config": {"external": arm["external"]},
+                "sparse": {"decode_tok_s": r["continuous"]["agg_tok_s"]},
+                "dense": {"decode_tok_s": r["window"]["agg_tok_s"]},
+                "decode_speedup": r["speedup_makespan"],
+                "latency_mean_ratio": r.get("latency_mean_ratio"),
+                "token_mismatches": r.get("token_mismatches"),
+                "note": arm.get("note", ""),
+            }
+            print("ARM_RESULT " + json.dumps(
+                {"arm": name, **self.detail[name]}), flush=True)
+        except _BudgetExhausted as e:
+            self.detail[name] = {"config": {"external": arm["external"]},
+                                 "skipped": str(e)}
+        except Exception as e:  # noqa: BLE001
+            self.detail[name] = {"config": {"external": arm["external"]},
+                                 "error": str(e)[-800:]}
+
     def run_arm(self, name: str):
         arm = ARMS[name]
+        if "external" in arm:
+            return self._run_external_arm(name, arm)
         if self.remaining() < 240:
             self.detail[name] = {
                 "config": {"sparse": arm["sparse"], "dense": arm["dense"]},

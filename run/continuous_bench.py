@@ -41,6 +41,15 @@ def main():
     p.add_argument("--arrival-ms", type=float, default=300.0,
                    help="inter-arrival gap")
     p.add_argument("--chunk", type=int, default=16)
+    p.add_argument("--quant", default=None, choices=(None, "int8", "int4"),
+                   help="weight quantization (the 7B flagship regime is "
+                        "int8 — bench.py 7b_best)")
+    p.add_argument("--cache-dtype", dest="cache_dtype", default="bfloat16",
+                   help="KV cache dtype; float8_e4m3fn halves KV footprint "
+                        "(24 bf16-KV 7B slots do not fit 16 GB)")
+    p.add_argument("--spec-k", dest="spec_k", type=int, default=0,
+                   help="speculative drafts per chunk round in the "
+                        "continuous engine (spec x batching; greedy-only)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -60,7 +69,7 @@ def main():
     )
 
     cfg = _cfg(args.model)
-    params = build_bench_params(cfg)
+    params = build_bench_params(cfg, quant=args.quant)
     rng = np.random.default_rng(0)
     prompts = [
         rng.integers(3, cfg.text.vocab_size, size=(args.text,)).astype(
@@ -79,12 +88,13 @@ def main():
 
     gc = GenerationConfig(
         max_new_tokens=args.new, decode_chunk=args.chunk, pad_multiple=16,
+        cache_dtype=args.cache_dtype,
     )
 
     def warm_engine():
         eng = ContinuousEngine(params, cfg, gc, slots=args.slots,
                                prompt_bucket=bucket, max_new_cap=args.new,
-                               with_images=False)
+                               with_images=False, spec_k=args.spec_k)
         # admission prefills/splices compile per power-of-two batch size —
         # warm every bucket the run can hit
         k = 1
@@ -100,7 +110,7 @@ def main():
     warm_engine()
     eng = ContinuousEngine(params, cfg, gc, slots=args.slots,
                            prompt_bucket=bucket, max_new_cap=args.new,
-                           with_images=False)
+                           with_images=False, spec_k=args.spec_k)
     finish: dict = {}
     t0 = time.perf_counter()
 
@@ -178,9 +188,15 @@ def main():
             "p95_s": round(float(np.quantile(lat, 0.95)), 3),
         }
 
+    tag = f"continuous_vs_window_{args.model}"
+    if args.quant:
+        tag += f"_{args.quant}"
+    if args.cache_dtype != "bfloat16":
+        tag += "_fp8kv" if "float8" in args.cache_dtype else f"_{args.cache_dtype}"
+    if args.spec_k:
+        tag += f"_speck{args.spec_k}"
     rec = {
-        "metric": f"continuous_vs_window_{args.model}_r{args.requests}"
-                  f"_s{args.slots}",
+        "metric": f"{tag}_r{args.requests}_s{args.slots}",
         "requests": args.requests,
         "slots": args.slots,
         "arrival_ms": args.arrival_ms,

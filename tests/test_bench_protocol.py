@@ -37,9 +37,12 @@ def test_arm_table_schema():
     assert set(bench.ARM_ORDER) | set(bench.EXTRA_ARMS) == set(bench.ARMS)
     assert not set(bench.ARM_ORDER) & set(bench.EXTRA_ARMS)
     for name, arm in bench.ARMS.items():
+        assert arm["metric"].startswith(("decode_tok_s", "serving_decode")), name
+        if "external" in arm:  # one-harness arms (7b_continuous)
+            assert arm["external"][0].startswith("run/"), name
+            continue
         assert set(arm["sparse"]) == SIDE_KEYS, name
         assert set(arm["dense"]) == SIDE_KEYS, name
-        assert arm["metric"].startswith(("decode_tok_s", "serving_decode")), name
         assert arm["sparse"]["model"] in ("7b", "13b", "1b", "small"), name
     # headline stays first: the summary's top-line metric is the first
     # COMPLETED arm in order, and the driver reads that as the round result
