@@ -481,6 +481,7 @@ def decode_step(
     state: GenState,
     active: Optional[jax.Array] = None,  # [B] bool — False freezes the sample
     kv_overflow: str = "drop",  # "drop" | "ring" (static)
+    output_text_keep_override: Optional[jax.Array] = None,  # [B] ablation
 ) -> GenState:
     """``active=False`` samples are frozen no-ops: the token's K/V lands in
     the (never-persisted) next slot, lengths/positions do not advance, and
@@ -532,7 +533,12 @@ def decode_step(
     )
     x, cache_pre = d1.x, d1.cache
 
-    if sparse.use_output_text_predictor:
+    if output_text_keep_override is not None:
+        # eval-only ablation hook (run/text_sparse_quality.py): replace the
+        # learned E3 keep decision (e.g. with per-step Bernoulli draws) so
+        # random KV dropping runs the identical persist/advance path
+        keep = output_text_keep_override.astype(jnp.int32)
+    elif sparse.use_output_text_predictor:
         # E3: per-token keep decision on the hidden entering the sparse layer
         # (reference :2377-2391): threshold logit[keep] > logit[drop]
         tp = text_predictor(

@@ -112,9 +112,21 @@ def vision_predictor(
     return _apply_linear(p["out3"], h)
 
 
-def init_text_predictor(key, input_dim: int, sparse: SparseConfig, dtype=jnp.float32):
+def init_text_predictor(key, input_dim: int, sparse: SparseConfig, dtype=jnp.float32,
+                        keep_bias: float = 0.0):
+    """``keep_bias`` > 0 starts the predictor at (near) keep-everything —
+    the prune-in curriculum for finetuning from a dense checkpoint: with a
+    symmetric random init the Gumbel mask drops ~half of everything at
+    step 0, the CE spike pushes the token-independent output bias toward
+    keep-all, and the saturated straight-through gradient cannot recover
+    (measured, run/text_sparse_quality.py). Starting keep-biased lets the
+    mask-ratio loss prune gradually while the CE defends only the tokens
+    that matter. 0.0 preserves the reference's symmetric init."""
     ks = jax.random.split(key, 4)
     d = sparse.d_model
+    fc4 = _linear(ks[3], d // 4, 2, dtype)
+    if keep_bias:
+        fc4["b"] = fc4["b"].at[0].add(jnp.asarray(keep_bias, dtype))
     return {
         "norm": {
             "w": jnp.ones((input_dim,), dtype),
@@ -123,7 +135,7 @@ def init_text_predictor(key, input_dim: int, sparse: SparseConfig, dtype=jnp.flo
         "fc1": _linear(ks[0], input_dim, d, dtype),
         "fc2": _linear(ks[1], d, d // 2, dtype),
         "fc3": _linear(ks[2], d // 2, d // 4, dtype),
-        "fc4": _linear(ks[3], d // 4, 2, dtype),
+        "fc4": fc4,
     }
 
 
@@ -136,10 +148,13 @@ def text_predictor(p, x: jax.Array) -> jax.Array:
     return _apply_linear(p["fc4"], h)
 
 
-def init_predictors(key, cfg: LlamaConfig, sparse: SparseConfig, dtype=jnp.float32):
+def init_predictors(key, cfg: LlamaConfig, sparse: SparseConfig, dtype=jnp.float32,
+                    text_keep_bias: float = 0.0):
     """Predictor param bundle keyed like the reference modules
     (image_score_predictor / output_text_score_predictor /
-    instruct_score_predictor, dynamic_modeling_llama.py:1614-1643)."""
+    instruct_score_predictor, dynamic_modeling_llama.py:1614-1643).
+    ``text_keep_bias`` applies the prune-in init to both text predictors
+    (see ``init_text_predictor``)."""
     ks = jax.random.split(key, 3)
     params = {}
     if sparse.use_vision_predictor:
@@ -148,10 +163,10 @@ def init_predictors(key, cfg: LlamaConfig, sparse: SparseConfig, dtype=jnp.float
         )
     if sparse.use_output_text_predictor:
         params["output_text_score_predictor"] = init_text_predictor(
-            ks[1], cfg.hidden_size, sparse, dtype
+            ks[1], cfg.hidden_size, sparse, dtype, keep_bias=text_keep_bias
         )
     if sparse.use_instruct_predictor:
         params["instruct_score_predictor"] = init_text_predictor(
-            ks[2], cfg.hidden_size, sparse, dtype
+            ks[2], cfg.hidden_size, sparse, dtype, keep_bias=text_keep_bias
         )
     return params

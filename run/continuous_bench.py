@@ -145,7 +145,8 @@ def main():
     gens = {}
     for mn in sorted(set(max_news)):
         gens[mn] = Generator(params, cfg, GenerationConfig(
-            max_new_tokens=mn, decode_chunk=args.chunk, pad_multiple=16))
+            max_new_tokens=mn, decode_chunk=args.chunk, pad_multiple=16,
+            cache_dtype=args.cache_dtype))
 
     print("compiling window programs (warm runs)...", flush=True)
     for mn, g in gens.items():
