@@ -281,6 +281,11 @@ def run_child():
     """BENCH_ONLY subprocess: measure one (config, sparse|dense) side."""
     import jax
 
+    if os.environ.get("BENCH_CPU"):
+        # CPU smoke for harnesses that shell this child (JAX_PLATFORMS is
+        # force-overridden by the axon sitecustomize; the config update
+        # is the only knob that sticks)
+        jax.config.update("jax_platforms", "cpu")
     # compiles dominate bench wall time (~5 min per program over the
     # remote-compile tunnel); cache them across arms and driver runs
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")

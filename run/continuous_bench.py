@@ -91,26 +91,16 @@ def main():
         cache_dtype=args.cache_dtype,
     )
 
-    def warm_engine():
-        eng = ContinuousEngine(params, cfg, gc, slots=args.slots,
-                               prompt_bucket=bucket, max_new_cap=args.new,
-                               with_images=False, spec_k=args.spec_k)
-        # admission prefills/splices compile per power-of-two batch size —
-        # warm every bucket the run can hit
-        k = 1
-        while k <= args.slots:
-            for _ in range(k):
-                eng.submit(prompts[0], max_new_tokens=4)
-            eng.run_until_drained()
-            k *= 2
-        return eng
-
     # ---- continuous arm ----------------------------------------------------
-    print("compiling engine programs (warm run)...", flush=True)
-    warm_engine()
+    # prewarm the SAME engine the trace is timed on: the admission-k
+    # ladder compiles every program, and the representative saturated
+    # pass flushes the ~4.2 s device-side first-execution stalls that
+    # otherwise land on the first real trace (see ContinuousEngine.prewarm)
+    print("compiling engine programs (prewarm)...", flush=True)
     eng = ContinuousEngine(params, cfg, gc, slots=args.slots,
                            prompt_bucket=bucket, max_new_cap=args.new,
                            with_images=False, spec_k=args.spec_k)
+    eng.prewarm(prompts[0])
     finish: dict = {}
     t0 = time.perf_counter()
 

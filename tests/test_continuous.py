@@ -264,3 +264,27 @@ def test_spec_mode_rejects_sampling(setup):
         ContinuousEngine(params, cfg, _gc(temperature=0.8), slots=1,
                          prompt_bucket=16, max_new_cap=8,
                          with_images=False, spec_k=2)
+
+
+def test_prewarm_leaves_engine_clean(setup):
+    """prewarm drives the full admission ladder + a saturated pass, then
+    the engine must serve real traffic from a pristine state: no leftover
+    request records, all slots free, and outputs token-exact vs solo."""
+    cfg, params = setup
+    engine = ContinuousEngine(
+        params, cfg, _gc(), slots=2, prompt_bucket=24, max_new_cap=16,
+        with_images=False,
+    )
+    engine.prewarm(_prompt(80, 9))
+    assert engine.requests == {}
+    assert engine._slot_req == [None, None]
+    assert not engine._queue and not engine._inflight
+
+    prompts = [_prompt(81, 7), _prompt(82, 12), _prompt(83, 19)]
+    max_news = [16, 6, 10]
+    rids = [engine.submit(p, max_new_tokens=mn)
+            for p, mn in zip(prompts, max_news)]
+    engine.run_until_drained()
+    for rid, prompt, max_new in zip(rids, prompts, max_news):
+        assert engine.requests[rid].output == _solo(
+            cfg, params, prompt, max_new, 24)
