@@ -235,6 +235,22 @@ class ContinuousEngine:
             bucket=gen_cfg.pad_multiple,
         )
         self.pre_cap, self.post_cap = pre_cap, post_cap
+        # admission caches hold only the prefilled PROMPT (decode tokens
+        # land in the engine state), so they are sized prompt-only —
+        # splice_cache_slot accepts the smaller source capacity. They are
+        # also POOLED per admission batch size k and never freed: on the
+        # 16 GB chip at the 7B regime, alloc/freeing ~1 GB transients per
+        # admission burst measured as periodic multi-second device-side
+        # allocator stalls surfacing at the next chunk (first run of each
+        # arrival pattern; see prewarm); reusing the donated prefill
+        # buffers removes the churn entirely.
+        a_pre, a_post = dynamic.gen_cache_sizes(
+            cfg, seq_len_max, 0, bound_output_budget=gen_cfg.bound_kv_budget,
+            all_have_image=False, bucket=gen_cfg.pad_multiple,
+        )
+        self.admit_pre_cap = min(a_pre, pre_cap)
+        self.admit_post_cap = min(a_post, post_cap)
+        self._admit_pool: Dict[int, object] = {}  # k -> TieredCache
         self.cache_dtype = jnp.dtype(gen_cfg.cache_dtype)
 
         cache = init_tiered_cache(
@@ -329,10 +345,12 @@ class ContinuousEngine:
             max_length=self.cfg.model_max_length,
             pad_to=self.prompt_bucket,
         )
-        cache_k = init_tiered_cache(
-            self.cfg.text, self.cfg.sparse.sparse_layer, k,
-            self.pre_cap, self.post_cap, self.cache_dtype,
-        )
+        cache_k = self._admit_pool.pop(k, None)
+        if cache_k is None:
+            cache_k = init_tiered_cache(
+                self.cfg.text, self.cfg.sparse.sparse_layer, k,
+                self.admit_pre_cap, self.admit_post_cap, self.cache_dtype,
+            )
         pixels = None
         if has_image:
             pixels = jnp.asarray(np.stack([
@@ -370,6 +388,10 @@ class ContinuousEngine:
         else:
             (self.state, self.active, self.hist, self.n_emit, self.limit,
              self.temps, self.top_ps) = self._splice_fn(k)(*common)
+        # return the prefill buffers (aliased from cache_k by donation) to
+        # the pool: the splice only reads them, so the next k-admission
+        # reuses the same HBM instead of an alloc/free round-trip
+        self._admit_pool[k] = state_k.cache
         for slot, req in zip(slots, reqs):
             self._slot_req[slot] = req.id
 

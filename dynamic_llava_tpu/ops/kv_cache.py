@@ -153,11 +153,13 @@ def splice_cache_slot(dst: KVCache, src: KVCache, slot) -> KVCache:
     (``generation.continuous``): a freshly prefilled request's K/V,
     scales, and lengths replace whatever a retired request left in the
     slot. ``slot`` may be traced, so one jitted program serves every
-    slot. Shapes (layers, capacity, dtype) must match — the engine
-    allocates its per-request prefill caches at the batched cache's
-    capacities for exactly this reason."""
+    slot. The source capacity may be SMALLER than the destination's —
+    an admission cache only ever holds the prefilled prompt, so sizing
+    it prompt-only (not prompt+max_new) cuts the transient HBM footprint
+    ~4x; slots past ``src.max_len`` keep the retired request's stale KV,
+    which is never attended (the [0, length) cache invariant)."""
     assert src.batch == 1 and src.num_layers == dst.num_layers
-    assert src.max_len == dst.max_len and src.quantized == dst.quantized
+    assert src.max_len <= dst.max_len and src.quantized == dst.quantized
     k = jax.lax.dynamic_update_slice(dst.k, src.k, (0, slot, 0, 0, 0))
     v = jax.lax.dynamic_update_slice(dst.v, src.v, (0, slot, 0, 0, 0))
     length = jax.lax.dynamic_update_slice(dst.length, src.length, (0, slot))
