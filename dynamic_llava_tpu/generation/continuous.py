@@ -469,10 +469,18 @@ class ContinuousEngine:
             # reset the freed slots' sampling params to greedy: a retired
             # top_p<1 request must not keep the [slots, vocab] top-p sort
             # branch live in every later chunk (its lax.cond fires on
-            # jnp.any(top_ps < 1.0) — generate._sample_per_slot)
-            idx = jnp.asarray(freed, jnp.int32)
-            self.temps = self.temps.at[idx].set(0.0)
-            self.top_ps = self.top_ps.at[idx].set(1.0)
+            # jnp.any(top_ps < 1.0) — generate._sample_per_slot).
+            # STATIC-shaped mask, never an [n_freed] index scatter: each
+            # distinct freed-group size is its own tiny XLA program, and a
+            # first-seen size mid-trace costs a ~4 s remote compile on the
+            # TPU tunnel — measured as the trace-pattern-specific stalls
+            # (every arrival pattern frees slots in its own group sizes;
+            # an identical second trace was always clean).
+            mask = np.zeros((self.slots,), bool)
+            mask[freed] = True
+            m = jnp.asarray(mask)
+            self.temps = jnp.where(m, 0.0, self.temps)
+            self.top_ps = jnp.where(m, 1.0, self.top_ps)
         return fresh
 
     def step(self) -> Dict[int, List[int]]:
