@@ -58,33 +58,49 @@ QUESTION = [1, VOCAB.index("Q"), VOCAB.index("is"), VOCAB.index("there"),
             VOCAB.index("A")]
 
 
-def build_patterns(rng, patch: int, alphabet: int, amp: float):
-    """Half-patch pattern libraries: `alphabet` ID patterns + 2 class
-    patterns, all amp-normalized so loudness carries no information."""
+def build_patterns(rng, patch: int, alphabet: int, amp: float,
+                   full: bool = False):
+    """Pattern libraries: `alphabet` ID patterns + 2 class patterns, all
+    amp-normalized so loudness carries no information. ``full=False``
+    gives half-patch-wide patterns (the "halves" tile layout);
+    ``full=True`` gives whole-patch patterns (the "additive" layout)."""
     import numpy as np
 
     def norm(x):
         return amp * x / np.abs(x).max(axis=(1, 2, 3), keepdims=True)
 
-    ids = norm(rng.normal(size=(alphabet, patch, patch // 2, 3))
-               .astype(np.float32))
-    cls = norm(rng.normal(size=(2, patch, patch // 2, 3)).astype(np.float32))
+    w = patch if full else patch // 2
+    ids = norm(rng.normal(size=(alphabet, patch, w, 3)).astype(np.float32))
+    cls = norm(rng.normal(size=(2, patch, w, 3)).astype(np.float32))
     return ids, cls
 
 
 def build_corpus(n: int, image_size: int, patch: int, seed: int = 0,
                  noise: float = 0.5, amp: float = 2.5, hops: int = 2,
                  class_distractors: int = 4, pointer_distractors: int = 2,
-                 alphabet: int = 16):
+                 alphabet: int = 16, encoding: str = "halves",
+                 pointer_coeff: float = 0.6):
     """n samples of the ID-chain chase. Returns (prompts, answers, imgs,
     chain_pos [n, hops+1] grid positions of the chain patches in order,
-    labels_txt)."""
+    labels_txt).
+
+    Tile encodings:
+      * ``halves``: [ID half | payload half]. The dynamic hop-2 lookup
+        must map a payload-half embedding onto an ID-half embedding — an
+        arbitrary learned rotation with no initial gradient; measured:
+        depths >= 1 stay pinned at chance through curriculum training.
+      * ``additive``: tile = ID + pointer_coeff * payload, one shared
+        whole-patch library. Retrieved pointer content then matches the
+        target's key IN THE SAME pattern subspace (no cross-half
+        rotation to learn); `pointer_coeff` (relative amplitude within
+        an amp-normalized tile) disambiguates own-ID from pointer."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
     g = image_size // patch
     n_patches = g * g
-    id_pat, cls_pat = build_patterns(rng, patch, alphabet, amp)
+    id_pat, cls_pat = build_patterns(rng, patch, alphabet, amp,
+                                     full=(encoding == "additive"))
     n_chain = hops + 1
     n_used = n_chain + class_distractors + pointer_distractors
     assert n_used <= n_patches and n_used <= alphabet
@@ -101,7 +117,10 @@ def build_corpus(n: int, image_size: int, patch: int, seed: int = 0,
 
         def put(p, id_idx, payload):
             r, col = divmod(int(p), g)
-            tile = np.concatenate([id_pat[id_idx], payload], axis=1)
+            if encoding == "additive":
+                tile = id_pat[id_idx] + pointer_coeff * payload
+            else:
+                tile = np.concatenate([id_pat[id_idx], payload], axis=1)
             tile = tile + rng.normal(
                 scale=0.1, size=tile.shape).astype(np.float32)
             img[r * patch:(r + 1) * patch,
@@ -185,6 +204,7 @@ def hops_schedule(steps: int, max_hops: int):
 def train_fresh(cfg, steps: int, batch_size: int, seed: int,
                 image_size: int, patch: int, hops: int,
                 params=None, log_every: int = 0, lr: float = 3e-3,
+                base_lr: Optional[float] = None,
                 corpus_kw=None, curriculum: bool = True):
     """Stage trainer on fresh per-step batches through the real train
     step (Gumbel policy + mask-ratio loss when the predictor is on).
@@ -230,7 +250,8 @@ def train_fresh(cfg, steps: int, batch_size: int, seed: int,
             labels.append(lab)
         corpora[h] = {"ids": ids, "labels": labels, "imgs": imgs, "next": 0}
 
-    opt = make_optimizer(base_lr=lr, predictor_lr=lr)
+    opt = make_optimizer(base_lr=lr if base_lr is None else base_lr,
+                         predictor_lr=lr)
     step = make_train_step(cfg, opt, remat=False, labels=label_params(params))
     opt_state = opt.init(params)
     tau_fn = gumbel_tau_schedule(1.0, 0.1, max(steps, 1))
@@ -325,7 +346,7 @@ def eval_arm(params, cfg, prompts, answers, imgs, chain_pos, labels_txt,
 def run_all(steps: int, dense_steps: int, batch: int, holdout: int,
             hidden: int, layers: int, sparse_layer: int, hops: int,
             seed: int = 0, log_every: int = 0, pred_layers: int = 3,
-            corpus_kw=None):
+            corpus_kw=None, stage2_base_lr: Optional[float] = 7.5e-5):
     import numpy as np
 
     import jax
@@ -350,19 +371,28 @@ def run_all(steps: int, dense_steps: int, batch: int, holdout: int,
     params["predictors"] = init_predictors(
         jax.random.key(seed + 1), cfg.text, cfg.sparse, jax.numpy.float32,
     )
+    # stage-2 lr split mirrors the reference recipe
+    # (run/train_dynamic_llava_7b.sh: base 5e-6, predictors 2e-4 — a 40x
+    # ratio): a near-frozen base cannot CE-unlearn its image reliance
+    # faster than the predictor locks onto the load-bearing patches.
+    # Measured without the split: stage 2 collapses the learned depth-0
+    # circuit to exact chance (mutual collapse — the Gumbel mask drops
+    # the chain patch 80% of the time, the fast-moving base unlearns it,
+    # and the predictor's keep-gradient vanishes with it).
     params, loss2 = train_fresh(
         cfg, steps, batch, seed + 1, image_size, patch, hops,
         params=params, log_every=log_every, corpus_kw=corpus_kw,
-        curriculum="cycle",
+        curriculum="cycle", base_lr=stage2_base_lr,
     )
     print(f"# stage 2 (sparse finetune, depth cycle): {steps} steps, "
           f"lm_loss by depth {loss2}", file=sys.stderr)
 
-    # ONE mixed-depth model, evaluated per chain depth: hops-1 is the
-    # in-pre-tier negative control, `hops` is the production-boundary arm
+    # ONE mixed-depth model, evaluated per chain depth — including depth
+    # 0 when in range: whether even the LEARNED depth's read circuit
+    # lands pre- or post-sparse_layer is itself the measurement
     rng = np.random.default_rng(seed + 7)
     all_rows, all_gaps = {}, {}
-    for h in range(max(hops - 1, 1), hops + 1):
+    for h in range(max(hops - 1, 0), hops + 1):
         prompts, answers, imgs, chain_pos, labels_txt = build_corpus(
             holdout, image_size, patch, seed=seed + 999_999 + h, hops=h,
             **(corpus_kw or {}),
@@ -407,6 +437,14 @@ def main():
     ap.add_argument("--pred-layers", dest="pred_layers", type=int, default=3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log-every", type=int, default=0)
+    ap.add_argument("--encoding", choices=("halves", "additive"),
+                    default="halves")
+    ap.add_argument("--pointer-coeff", dest="pointer_coeff", type=float,
+                    default=0.6)
+    ap.add_argument("--stage2-base-lr", dest="stage2_base_lr", type=float,
+                    default=7.5e-5,
+                    help="stage-2 base-LM lr (predictors stay at 3e-3; "
+                         "the reference recipe's 40x split)")
     ap.add_argument("--tpu", action="store_true")
     args = ap.parse_args()
 
@@ -417,7 +455,10 @@ def main():
     run_all(args.steps, args.dense_steps, args.batch, args.holdout,
             args.hidden, args.layers, args.sparse_layer, args.hops,
             seed=args.seed, log_every=args.log_every,
-            pred_layers=args.pred_layers)
+            pred_layers=args.pred_layers,
+            corpus_kw={"encoding": args.encoding,
+                       "pointer_coeff": args.pointer_coeff},
+            stage2_base_lr=args.stage2_base_lr)
 
 
 if __name__ == "__main__":
